@@ -1,0 +1,109 @@
+// Oracle harness: links against the UNMODIFIED reference CityFlow sources
+// (mounted read-only at /root/reference) and dumps golden data used to
+// validate the TPU-native reimplementation bit-for-bit.
+//
+// Dumps (to stdout as JSON lines):
+//   {"type":"static", ...}   once: lanes, lanelinks, crosses, phases
+//   {"type":"step","t":N,...} per step: per-vehicle (id, drivable, dis, speed),
+//                             plus lane counts and avg travel time
+//
+// Usage: dump_golden <configFile> <steps> [--interval k] [--threads n]
+#include "engine/engine.h"
+#include "roadnet/roadnet.h"
+#include "vehicle/vehicle.h"
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <chrono>
+
+using namespace CityFlow;
+
+static void printEsc(const std::string &s) { fputs(s.c_str(), stdout); }
+
+int main(int argc, char **argv) {
+    if (argc < 3) { fprintf(stderr, "usage: %s config steps [--threads n] [--every k] [--static-only]\n", argv[0]); return 1; }
+    std::string config = argv[1];
+    int steps = atoi(argv[2]);
+    int threads = 1, every = 1;
+    bool staticOnly = false;
+    for (int i = 3; i < argc; i++) {
+        if (!strcmp(argv[i], "--threads")) threads = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--every")) every = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--static-only")) staticOnly = true;
+    }
+
+    Engine eng(config, threads);
+
+    // ---- static dump ----
+    printf("{\"type\":\"static\",\"lanes\":[");
+    {
+        // access roadnet via engine? Engine keeps roadnet private; re-load it.
+    }
+    RoadNet rn;
+    {
+        // re-parse config to find roadnet path
+        FILE *f = fopen(config.c_str(), "rb");
+        std::string buf; char c;
+        while ((c = fgetc(f)) != EOF) buf += c;
+        fclose(f);
+        auto find = [&](const std::string &key) {
+            size_t p = buf.find("\"" + key + "\"");
+            p = buf.find(':', p); p++;
+            while (p < buf.size() && (buf[p] == ' ' || buf[p] == '\t' || buf[p] == '"')) p++;
+            size_t e = p;
+            while (e < buf.size() && buf[e] != '"' && buf[e] != ',' && buf[e] != '}') e++;
+            return buf.substr(p, e - p);
+        };
+        rn.loadFromJson(find("dir") + find("roadnetFile"));
+    }
+    bool first = true;
+    for (Lane *lane : rn.getLanes()) {
+        if (!first) printf(","); first = false;
+        printf("{\"id\":\"%s\",\"len\":%.17g,\"maxSpeed\":%.17g,\"points\":[", lane->getId().c_str(), lane->getLength(), lane->getMaxSpeed());
+        // points not exposed; use getPointByDistance at 0 and len as probes
+        Point p0 = lane->getPointByDistance(0), p1 = lane->getPointByDistance(lane->getLength());
+        printf("%.17g,%.17g,%.17g,%.17g]}", p0.x, p0.y, p1.x, p1.y);
+    }
+    printf("],\"laneLinks\":[");
+    first = true;
+    for (LaneLink *ll : rn.getLaneLinks()) {
+        if (!first) printf(","); first = false;
+        printf("{\"id\":\"%s\",\"len\":%.17g,\"type\":%d,\"crosses\":[", ll->getId().c_str(), ll->getLength(), (int)ll->getRoadLinkType());
+        bool cf = true;
+        for (Cross *cr : ll->getCrosses()) {
+            if (!cf) printf(","); cf = false;
+            int i = (cr->getLaneLink(0) == ll) ? 0 : 1;
+            LaneLink *other = cr->getLaneLink(1 - i);
+            printf("{\"other\":\"%s\",\"dist\":%.17g,\"safe\":%.17g,\"ang\":%.17g}",
+                   other->getId().c_str(), cr->getDistanceByLane(ll), cr->getSafeDistanceByLane(ll), cr->getAng());
+        }
+        printf("]}");
+    }
+    printf("]}\n");
+    if (staticOnly) return 0;
+
+    // ---- per-step dump ----
+    auto t0 = std::chrono::steady_clock::now();
+    for (int t = 0; t < steps; t++) {
+        eng.nextStep();
+        if ((t + 1) % every != 0) continue;
+        printf("{\"type\":\"step\",\"t\":%d,\"vehicles\":[", t + 1);
+        bool vf = true;
+        auto dists = eng.getVehicleDistance();   // full-precision doubles
+        auto speeds = eng.getVehicleSpeed();
+        for (const auto &vid : eng.getVehicles(false)) {
+            auto info = eng.getVehicleInfo(vid);
+            if (!vf) printf(","); vf = false;
+            printf("{\"id\":\"");
+            printEsc(vid);
+            printf("\",\"drv\":\"%s\",\"dis\":%.17g,\"speed\":%.17g}",
+                   info["drivable"].c_str(), dists[vid], speeds[vid]);
+        }
+        printf("],\"cnt\":%zu,\"att\":%.17g}\n", eng.getVehicleCount(), eng.getAverageTravelTime());
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "steps=%d wall=%.3fs steps_per_sec=%.1f\n", steps,
+            std::chrono::duration<double>(t1 - t0).count(),
+            steps / std::chrono::duration<double>(t1 - t0).count());
+    return 0;
+}
