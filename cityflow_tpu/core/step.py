@@ -1,0 +1,739 @@
+"""The simulation step: a pure jittable function over `SimState`.
+
+Each phase of the reference's barrier pipeline (engine.cpp:566-594) becomes a
+dense array transformation; the reference's double-buffered per-vehicle writes
+(vehicle.h Buffer, committed in Vehicle::update) make every phase a Jacobi
+update, which is why this vectorization is exact.
+
+Phase map (reference -> here):
+  Flow::nextStep + planRoute       -> spawn_vehicles (host-precomputed table)
+  Engine::handleWaiting            -> admit_waiting
+  Engine::threadNotifyCross        -> notify_cross
+  Engine::threadGetAction          -> get_action (speeds, hop walk, buffers)
+  Engine::threadUpdateLocation     -> update_location (removals, transfers)
+  Engine::threadUpdateAction       -> commit
+  Engine::threadUpdateLeaderAndGap -> update_leader_and_gap
+  TrafficLight::passTime           -> pass_time
+
+All formula transcriptions cite the reference file:line and preserve
+double-precision operation order for bit-exact parity in exact mode.
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from cityflow_tpu.core.state import (
+    SimState, StepConfig, INT_MAX, OV_SLOTS, OV_LINK_TABLE, OV_HOPS, OV_REMOVE)
+
+EPS = 1e-8  # reference utility.h:15
+
+# param columns (compiler/net.py)
+P_SPEED, P_LEN, P_WIDTH, P_MAXPOSACC, P_MAXNEGACC, P_USUALPOSACC, \
+    P_USUALNEGACC, P_MINGAP, P_MAXSPEED, P_HEADWAY, P_YIELD, P_TURNSPEED = range(12)
+
+
+def gat(a, i, fill=None):
+    """Safe gather: a[clip(i)]; caller masks invalid lanes (i<0)."""
+    n = a.shape[0]
+    return jnp.take(a, jnp.clip(i, 0, n - 1), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# arrangement: per-drivable ordered lists via one global sort
+# ---------------------------------------------------------------------------
+
+def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq):
+    """Reproduce the reference's per-drivable std::list order: vehicles sorted
+    by distance DESC, ties by insertion order (Drivable::pushVehicle appends;
+    pushBuffer pre-sorted by distance desc, engine.cpp:480-493)."""
+    V = cfg.max_vehicles
+    D = cfg.num_drivables
+    L = cfg.num_lanes
+    LL = D - L
+    key_drv = jnp.where(running, drv, D).astype(jnp.int32)
+    neg_dis = jnp.where(running, -dis, jnp.zeros_like(dis))
+    idx = jnp.arange(V, dtype=jnp.int32)
+    s_drv, _nd, _sq, s_idx = jax.lax.sort(
+        (key_drv, neg_dis, list_seq, idx), num_keys=3)
+
+    pos = jnp.arange(V, dtype=jnp.int32)
+    prev_same = jnp.concatenate(
+        [jnp.zeros(1, bool), s_drv[1:] == s_drv[:-1]])
+    next_same = jnp.concatenate(
+        [s_drv[:-1] == s_drv[1:], jnp.zeros(1, bool)])
+    valid = s_drv < D
+
+    leader_sorted = jnp.where(prev_same, jnp.roll(s_idx, 1), -1)
+    leader = jnp.zeros(V, jnp.int32).at[s_idx].set(leader_sorted)
+
+    first_mask = valid & ~prev_same
+    last_mask = valid & ~next_same
+    first_of = jnp.full(D + 1, -1, jnp.int32).at[
+        jnp.where(first_mask, s_drv, D)].set(s_idx, mode="drop")[:D]
+    last_of = jnp.full(D + 1, -1, jnp.int32).at[
+        jnp.where(last_mask, s_drv, D)].set(s_idx, mode="drop")[:D]
+
+    seg_start = jax.lax.cummax(jnp.where(first_mask, pos, -1), axis=0)
+    rank = pos - seg_start
+
+    on_link = valid & (s_drv >= L)
+    in_table = on_link & (rank < cfg.k_link)
+    flat = (s_drv - L) * cfg.k_link + rank
+    link_veh = jnp.full(max(LL, 1) * cfg.k_link + 1, -1, jnp.int32).at[
+        jnp.where(in_table, flat, max(LL, 1) * cfg.k_link)
+    ].set(s_idx, mode="drop")[:-1].reshape(max(LL, 1), cfg.k_link)
+
+    ov = jnp.any(on_link & (rank >= cfg.k_link))
+    rank_of = jnp.zeros(V, jnp.int32).at[s_idx].set(rank)
+    return dict(leader=leader, first_of=first_of, last_of=last_of,
+                link_veh=link_veh, sorted_idx=s_idx, sorted_drv=s_drv,
+                rank=rank_of, overflow_link=ov)
+
+
+# ---------------------------------------------------------------------------
+# router chain
+# ---------------------------------------------------------------------------
+
+def chain_step(net, cfg: StepConfig, route, pos, cur):
+    """One hop of Router::getNextDrivable (router.cpp:49-76): lane -> selected
+    lanelink (host-precomputed table), lanelink -> its end lane (pos+1)."""
+    L = cfg.num_lanes
+    rnl = net["route_next_ll"]
+    NR, RLEN, MAXLPR = rnl.shape
+    is_lane = (cur >= 0) & (cur < L)
+    lane_local = gat(net["lane_local"], cur)
+    flat_idx = (jnp.clip(route, 0, NR - 1) * RLEN
+                + jnp.clip(pos, 0, RLEN - 1)) * MAXLPR + jnp.clip(lane_local, 0, MAXLPR - 1)
+    nxt_from_lane = jnp.take(rnl.reshape(-1), flat_idx)
+    nxt_from_ll = gat(net["ll_end"], cur - L)  # lane idx == drivable idx
+    nxt = jnp.where(is_lane, nxt_from_lane,
+                    jnp.where(cur >= L, nxt_from_ll, -1)).astype(jnp.int32)
+    npos = jnp.where(cur >= L, pos + 1, pos).astype(jnp.int32)
+    return nxt, npos
+
+
+def on_last_road(net, cfg, route, pos):
+    return pos >= gat(net["route_len"], route) - 1
+
+
+# ---------------------------------------------------------------------------
+# speed-model scalar formulas (vehicle.cpp; elementwise, exact op order)
+# ---------------------------------------------------------------------------
+
+def no_collision_speed(vL, dL, vF, dF, gap, interval, target_gap):
+    """reference vehicle.cpp:200-209."""
+    c = vF * interval / 2 + target_gap - 0.5 * vL * vL / dL - gap
+    a = 0.5 / dF
+    b = 0.5 * interval
+    disc = b * b - 4 * a * c
+    v1 = 0.5 / a * (jnp.sqrt(jnp.maximum(disc, 0.0)) - b)
+    v2 = 2 * vL - dL * interval + 2 * (gap - target_gap) / interval
+    v = jnp.minimum(v1, v2)
+    return jnp.where(b * b < 4 * a * c, -100.0, v)
+
+
+def brake_distance_after_accel(speed, acc, dec, interval):
+    """reference vehicle.cpp:302-306."""
+    next_speed = speed + acc * interval
+    return (speed + next_speed) * interval / 2 + (next_speed * next_speed / dec / 2)
+
+
+def stop_before_speed(speed, usual_pos, usual_neg, distance, interval):
+    """reference vehicle.cpp:240-250 (getStopBeforeSpeed)."""
+    bda = brake_distance_after_accel(speed, usual_pos, usual_neg, interval)
+    ti = 2 * distance / (speed + EPS) / interval
+    # (int)takeInterval: C truncation; x86 cvttsd2si out-of-range -> INT_MIN
+    ti_int = jnp.where(jnp.abs(ti) >= 2.0**31, -(2.0**31), jnp.trunc(ti))
+    ge1 = speed - speed / ti_int
+    lt1 = speed - speed / ti
+    slow = jnp.where(ti >= 1, ge1, lt1)
+    return jnp.where(bda < distance, speed + usual_pos * interval, slow)
+
+
+def distance_until_speed(speed, target, acc, interval):
+    """reference vehicle.cpp:275-282 (NB: stage1speed adds acc/interval —
+    transcribed as written)."""
+    s1 = jnp.floor((target - speed) / acc / interval)
+    v1 = speed + s1 * acc / interval
+    d1 = (speed + v1) * (s1 * interval) / 2
+    d = d1 + jnp.where(v1 < target, (v1 + target) * interval / 2, 0.0)
+    return jnp.where(target <= speed, 0.0, d)
+
+
+def reach_steps(speed, distance, target, acc, interval):
+    """reference vehicle.cpp:252-268 (getReachSteps), returns int32."""
+    r_fast = jnp.ceil(distance / jnp.where(speed > 0, speed, 1.0))
+    dts = distance_until_speed(speed, target, acc, interval)
+    r_a = jnp.ceil((jnp.sqrt(jnp.maximum(
+        speed * speed + 2 * acc * distance, 0.0)) - speed) / acc / interval)
+    r_b = (jnp.ceil((target - speed) / acc / interval)
+           + jnp.ceil((distance - dts) / target / interval))
+    r = jnp.where(speed > target, r_fast,
+                  jnp.where(dts > distance, r_a, r_b))
+    r = jnp.where(distance <= 0, 0.0, r)
+    return r.astype(jnp.int32)
+
+
+def can_yield(speed, max_neg, yield_dist, length, d):
+    """reference vehicle.cpp:284-287."""
+    min_brake = 0.5 * speed * speed / max_neg
+    return ((d > 0) & (min_brake < d - yield_dist)) | ((d < 0) & (d + length < 0))
+
+
+# ---------------------------------------------------------------------------
+# leader scan across upcoming drivables (vehicle.cpp:157-196)
+# ---------------------------------------------------------------------------
+
+def leader_scan(net, cfg: StepConfig, st: SimState, arr, mask):
+    """Vectorized Vehicle::updateLeaderAndGap fallback scan for vehicles with
+    no leader on their own drivable. Returns (leader_idx, gap)."""
+    p = st.params
+    max_speed = p[:, P_MAXSPEED]
+    bound = (max_speed * max_speed / p[:, P_USUALNEGACC] / 2
+             + max_speed * cfg.interval * 2)
+    L = cfg.num_lanes
+    drv_len = net["drv_len"]
+    veh_len = p[:, P_LEN]
+
+    cur = st.drv
+    pos = st.route_pos
+    dis_rem = gat(drv_len, st.drv) - st.dis
+    found = jnp.full_like(st.drv, -1)
+    fgap = jnp.zeros_like(st.dis)
+    done = ~mask
+    for _ in range(cfg.k_scan):
+        nd, pos = chain_step(net, cfg, st.route, pos, cur)
+        done = done | (nd < 0)
+        is_ll = nd >= L
+        # lanelink: scan ALL lanelinks leaving the same start lane (overlap
+        # rule, vehicle.cpp:170-180), min gap with strict <, first wins
+        start_lane = gat(net["ll_start"], nd - L)
+        best_cand = jnp.full_like(nd, -1)
+        best_gap = jnp.zeros_like(fgap)
+        for k in range(cfg.k_out):
+            ol = gat(net["lane_out"], start_lane)[:, k]
+            cand = jnp.where(ol >= 0, gat(arr["last_of"], ol), -1)
+            cgap = dis_rem + gat(st.dis, cand) - gat(veh_len, cand)
+            better = (cand >= 0) & ((best_cand < 0) | (cgap < best_gap))
+            best_gap = jnp.where(better, cgap, best_gap)
+            best_cand = jnp.where(better, cand, best_cand)
+        lane_cand = gat(arr["last_of"], nd)
+        lane_gap = dis_rem + gat(st.dis, lane_cand) - gat(veh_len, lane_cand)
+        cand = jnp.where(is_ll, best_cand, lane_cand)
+        cgap = jnp.where(is_ll, best_gap, lane_gap)
+        hit = ~done & (cand >= 0)
+        found = jnp.where(hit, cand, found)
+        fgap = jnp.where(hit, cgap, fgap)
+        done = done | hit
+        dis_rem = dis_rem + gat(drv_len, nd)
+        done = done | (dis_rem > bound)
+        cur = nd
+    return found, fgap
+
+
+# ---------------------------------------------------------------------------
+# step phases
+# ---------------------------------------------------------------------------
+
+def spawn_vehicles(net, cfg: StepConfig, st: SimState, spawn_tbl):
+    """Activate this step's host-precomputed spawn rows into free slots
+    (reference: Flow::nextStep + Engine::planRoute valid path,
+    flow.cpp:6-22, engine.cpp:450-470)."""
+    MS = cfg.max_spawn_per_step
+    rows = {k: jax.lax.dynamic_slice_in_dim(spawn_tbl[k], st.spawn_cursor, MS)
+            for k in ("step", "flow", "priority", "first_drv", "route")}
+    want = rows["step"] == st.step                       # contiguous prefix
+    free = jnp.nonzero(~st.active, size=MS, fill_value=-1)[0].astype(jnp.int32)
+    slot = jnp.where(want, free, -1)
+    ok = want & (slot >= 0)
+    ov = jnp.any(want & (slot < 0))
+    tgt = jnp.where(ok, slot, cfg.max_vehicles)          # drop-mode scatter
+
+    f = st.dis.dtype
+    uid = st.spawn_cursor + jnp.arange(MS, dtype=jnp.int32)
+    flow_params = gat(net["flow_params"], rows["flow"]).astype(f)
+    new = dict(
+        active=True, running=False, dis=f.type(0), speed=flow_params[:, P_SPEED],
+        drv=rows["first_drv"], prev_drv=jnp.int32(-1), route=rows["route"],
+        route_pos=jnp.int32(0),
+        enter_time=(st.step.astype(f) * f.type(cfg.interval)),
+        enter_ll_time=jnp.int32(INT_MAX), priority=rows["priority"],
+        leader=jnp.int32(-1), gap=f.type(0), blocker=jnp.int32(-1),
+        custom_speed=f.type(0), has_custom=False,
+        list_seq=jnp.int32(0), uid=uid)
+
+    def scat(a, v):
+        v = jnp.broadcast_to(v, (MS,) + a.shape[1:]) if jnp.ndim(v) <= 1 else v
+        return a.at[tgt].set(v.astype(a.dtype), mode="drop")
+
+    st = st.replace_fields(
+        active=scat(st.active, new["active"]),
+        running=scat(st.running, new["running"]),
+        dis=scat(st.dis, new["dis"]), speed=scat(st.speed, new["speed"]),
+        drv=scat(st.drv, new["drv"]), prev_drv=scat(st.prev_drv, new["prev_drv"]),
+        route=scat(st.route, new["route"]),
+        route_pos=scat(st.route_pos, new["route_pos"]),
+        enter_time=scat(st.enter_time, new["enter_time"]),
+        enter_ll_time=scat(st.enter_ll_time, new["enter_ll_time"]),
+        priority=scat(st.priority, new["priority"]),
+        leader=scat(st.leader, new["leader"]), gap=scat(st.gap, new["gap"]),
+        blocker=scat(st.blocker, new["blocker"]),
+        custom_speed=scat(st.custom_speed, new["custom_speed"]),
+        has_custom=scat(st.has_custom, new["has_custom"]),
+        list_seq=scat(st.list_seq, new["list_seq"]),
+        uid=scat(st.uid, uid),
+        params=st.params.at[tgt].set(flow_params, mode="drop"),
+        spawn_cursor=st.spawn_cursor + jnp.sum(want).astype(jnp.int32),
+        overflow=st.overflow | jnp.where(ov, OV_SLOTS, 0).astype(jnp.int32),
+    )
+    return st
+
+
+def admit_waiting(net, cfg: StepConfig, st: SimState, arr_prev):
+    """Engine::handleWaiting (engine.cpp:502-516): per lane, admit the FIFO
+    head of the waiting buffer if Lane::available (roadnet.cpp:428-436)."""
+    L = cfg.num_lanes
+    waiting = st.active & ~st.running
+    lane = st.drv  # waiting vehicles hold their first lane in drv
+    # FIFO head per lane = min uid among waiting
+    big = jnp.int32(INT_MAX)
+    seq = jnp.where(waiting, st.uid, big)
+    min_seq = jnp.full(L + 1, big, jnp.int32).at[
+        jnp.where(waiting, lane, L)].min(seq, mode="drop")[:L]
+    is_head = waiting & (st.uid == gat(min_seq, lane))
+
+    tail = gat(arr_prev["last_of"], lane)
+    has_tail = tail >= 0
+    tail_dis = gat(st.dis, tail)
+    tail_len = gat(st.params[:, P_LEN], tail)
+    available = ~has_tail | (tail_dis > tail_len + st.params[:, P_MINGAP])
+    admit = is_head & available
+
+    leader = jnp.where(admit & has_tail, tail, st.leader)
+    # updateLeaderAndGap(tail): gap = tail.dis - tail.len - 0 (vehicle.cpp:158-160)
+    gap = jnp.where(admit & has_tail, tail_dis - tail_len - st.dis, st.gap)
+    running = st.running | admit
+    list_seq = jnp.where(admit, st.seq_counter, st.list_seq)
+
+    st = st.replace_fields(running=running, leader=leader, gap=gap,
+                           list_seq=list_seq,
+                           seq_counter=st.seq_counter + 1)
+    # tail == null -> full scan (engine.cpp:512 -> vehicle.cpp:161-196)
+    need_scan = admit & ~has_tail
+    arr_now = arrangement(net, cfg, st.running, st.drv, st.dis, st.list_seq)
+    sl, sg = leader_scan(net, cfg, st, arr_now, need_scan)
+    st = st.replace_fields(
+        leader=jnp.where(need_scan, sl, st.leader),
+        gap=jnp.where(need_scan, sg, st.gap))
+    return st, arr_now
+
+
+def lanelink_available(net, cfg, st):
+    """LaneLink::isAvailable (roadnet.h:429-431,472) via current phase mask."""
+    row = gat(net["phase_offset"], net["ll_inter"]) + gat(st.phase, net["ll_inter"])
+    mrl = net["phase_rl_avail"].shape[1]
+    flat = row * mrl + net["ll_rl_local"]
+    return jnp.take(net["phase_rl_avail"].reshape(-1), flat)
+
+
+def notify_cross(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail):
+    """Engine::threadNotifyCross (engine.cpp:317-372). For each cross side,
+    the notifier is the vehicle with the largest front position on the
+    lanelink axis whose tail has not cleared the cross (see derivation in
+    docs/design.md)."""
+    L = cfg.num_lanes
+    C = net["cross_ll"].shape[0]
+    if C == 0:
+        z = jnp.zeros((0, 2))
+        return jnp.full((0, 2), -1, jnp.int32), z.astype(st.dis.dtype)
+    ll = net["cross_ll"]                       # (C,2) lanelink idx
+    d = net["cross_dist"].astype(st.dis.dtype)  # (C,2)
+    l_drv = L + ll
+    ll_len = gat(net["drv_len"], l_drv.reshape(-1)).reshape(C, 2).astype(st.dis.dtype)
+    veh_len = st.params[:, P_LEN]
+
+    # candidate stack: [endlane-last, k_link on-link vehicles..., startlane-head]
+    cands = []
+    eligs = []
+    # end-lane rear vehicle still clearing the link (engine.cpp:330-341)
+    e_lane = gat(net["ll_end"], ll.reshape(-1)).reshape(C, 2)
+    ev = gat(arr["last_of"], e_lane.reshape(-1)).reshape(C, 2)
+    ev_ok = (ev >= 0) & (gat(st.prev_drv, ev.reshape(-1)).reshape(C, 2) == l_drv)
+    p_e = ll_len + gat(st.dis, ev.reshape(-1)).reshape(C, 2)
+    t_e = p_e - gat(veh_len, ev.reshape(-1)).reshape(C, 2)
+    cands.append((ev, p_e))
+    eligs.append(ev_ok & (t_e < d))
+    # vehicles on the link (engine.cpp:343-359)
+    lv = gat(arr["link_veh"], ll.reshape(-1)).reshape(C, 2, cfg.k_link)
+    for k in range(cfg.k_link):
+        v = lv[:, :, k]
+        pv = gat(st.dis, v.reshape(-1)).reshape(C, 2)
+        tv = pv - gat(veh_len, v.reshape(-1)).reshape(C, 2)
+        cands.append((v, pv))
+        eligs.append((v >= 0) & (tv <= d))
+    # start-lane head approaching an available link (engine.cpp:361-369)
+    s_lane = gat(net["ll_start"], ll.reshape(-1)).reshape(C, 2)
+    sv = gat(arr["first_of"], s_lane.reshape(-1)).reshape(C, 2)
+    sv_ok = ((sv >= 0)
+             & (gat(veh_next, sv.reshape(-1)).reshape(C, 2) == l_drv)
+             & gat(ll_avail, ll.reshape(-1)).reshape(C, 2))
+    p_s = -(gat(net["drv_len"], s_lane.reshape(-1)).reshape(C, 2).astype(st.dis.dtype)
+            - gat(st.dis, sv.reshape(-1)).reshape(C, 2))
+    cands.append((sv, p_s))
+    eligs.append(sv_ok)
+
+    NEG = jnp.asarray(-1e30, st.dis.dtype)
+    best_v = jnp.full((C, 2), -1, jnp.int32)
+    best_p = jnp.full((C, 2), NEG, st.dis.dtype)
+    for (v, pv), el in zip(cands, eligs):
+        better = el & (pv > best_p)
+        best_v = jnp.where(better, v, best_v)
+        best_p = jnp.where(better, pv, best_p)
+    notify_dist = d - best_p
+    return best_v, notify_dist
+
+
+def blocker_cycles(cfg: StepConfig, blocker):
+    """Floyd cycle detection along the committed blocker chain
+    (Cross::canPass deadlock check, roadnet.cpp:662-674), bounded unroll."""
+    V = blocker.shape[0]
+    start = jnp.arange(V, dtype=jnp.int32)
+    slow = start
+    fast = start
+    cyc = jnp.zeros(V, bool)
+    for _ in range(cfg.k_chase):
+        bf = gat(blocker, fast)
+        cont = (fast >= 0) & (bf >= 0) & ~cyc
+        slow = jnp.where(cont, gat(blocker, slow), slow)
+        fast = jnp.where(cont, gat(blocker, bf), fast)
+        cyc = cyc | (cont & (slow == fast))
+    return cyc
+
+
+def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
+               notify_veh, notify_dist):
+    """Engine::vehicleControl + Vehicle::getNextSpeed for all running
+    vehicles (engine.cpp:188-251, vehicle.cpp:308-376)."""
+    f = st.dis.dtype
+    dt = f.type(cfg.interval)
+    p = st.params
+    L = cfg.num_lanes
+    m = st.running
+    speed = st.speed
+    max_speed = p[:, P_MAXSPEED]
+    veh_len = p[:, P_LEN]
+
+    # --- car following (vehicle.cpp:212-238) ---
+    leader = st.leader
+    has_leader = leader >= 0
+    vL = gat(st.speed, leader)
+    lp = gat(st.params, leader)
+    v_hard = no_collision_speed(vL, lp[:, P_MAXNEGACC], speed,
+                                p[:, P_MAXNEGACC], st.gap, dt, f.type(0))
+    assume_decel = jnp.where(speed > vL, speed - vL, f.type(0))
+    v_soft = no_collision_speed(vL, lp[:, P_USUALNEGACC], speed,
+                                p[:, P_USUALNEGACC], st.gap, dt, p[:, P_MINGAP])
+    v_headway = ((st.gap + (vL + assume_decel / 2) * dt - speed * dt / 2)
+                 / (p[:, P_HEADWAY] + dt / 2))
+    v_follow_plain = jnp.minimum(jnp.minimum(v_hard, v_soft), v_headway)
+    v_follow_custom = jnp.minimum(st.custom_speed, v_hard)
+    v_cf_leader = jnp.where(st.has_custom, v_follow_custom, v_follow_plain)
+    v_cf_no_leader = jnp.where(st.has_custom, st.custom_speed, max_speed)
+    v_cf = jnp.where(has_leader, v_cf_leader, v_cf_no_leader)
+
+    # --- intersection-related (vehicle.cpp:289-300,337-376) ---
+    is_ll = st.drv >= L
+    is_lane = ~is_ll & (st.drv >= 0)
+    next_is_ll = veh_next >= L
+    lane_left = gat(net["drv_len"], st.drv).astype(f) - st.dis
+    approach = (max_speed * max_speed / p[:, P_USUALNEGACC] / 2
+                + max_speed * dt * 2)
+    isr_related = is_ll | (is_lane & next_is_ll & (lane_left <= approach))
+
+    # red-light / blocked-entry branch
+    end_lane = gat(net["ll_end"], veh_next - L)
+    tail2 = gat(arr["last_of"], end_lane)
+    can_enter = ((tail2 < 0)
+                 | (gat(st.dis, tail2) > gat(veh_len, tail2) + veh_len)
+                 | (gat(st.speed, tail2) >= 2))
+    next_avail = gat(ll_avail, veh_next - L)
+    red = next_is_ll & (~next_avail | ~can_enter)
+    min_brake = 0.5 * speed * speed / p[:, P_MAXNEGACC]
+    red_stop = red & ~(min_brake > lane_left)
+    v_red = jnp.minimum(max_speed, stop_before_speed(
+        speed, p[:, P_USUALPOSACC], p[:, P_USUALNEGACC], lane_left, dt))
+
+    v_isr = max_speed
+    next_turn = gat(net["ll_is_turn"], veh_next - L) & next_is_ll
+    v_isr = jnp.where(next_turn, jnp.minimum(v_isr, p[:, P_TURNSPEED]), v_isr)
+
+    # cross loop over the relevant lanelink's crosses (vehicle.cpp:357-374)
+    the_ll = jnp.where(next_is_ll, veh_next - L,
+                       jnp.where(is_ll, st.drv - L, -1))
+    has_ll = the_ll >= 0
+    dls = jnp.where(is_lane, -lane_left, st.dis)
+    KC = cfg.k_cross
+    cr = gat(net["ll_cross_idx"], the_ll)        # (V,KC) cross ids
+    side = gat(net["ll_cross_side"], the_ll)     # (V,KC)
+    cvalid = (cr >= 0) & has_ll[:, None]
+    C2 = net["cross_dist"].reshape(-1)
+    C2i = net["cross_ll"].reshape(-1)
+    d_onl = jnp.take(C2, jnp.clip(cr * 2 + side, 0, C2.shape[0] - 1)).astype(f)
+    oside = 1 - side
+    foe = gat(notify_veh.reshape(-1), cr * 2 + oside) if notify_veh.size else jnp.full_like(cr, -1)
+    d2 = (gat(notify_dist.reshape(-1), cr * 2 + oside).astype(f)
+          if notify_dist.size else jnp.zeros_like(d_onl))
+    my_ll_g = jnp.take(C2i, jnp.clip(cr * 2 + side, 0, max(C2i.shape[0] - 1, 0))) \
+        if C2i.size else jnp.zeros_like(cr)
+    foe_ll = jnp.take(C2i, jnp.clip(cr * 2 + oside, 0, max(C2i.shape[0] - 1, 0))) \
+        if C2i.size else jnp.zeros_like(cr)
+    t1 = gat(net["ll_type"], my_ll_g)
+    t2 = gat(net["ll_type"], foe_ll)
+    d1 = d_onl - dls[:, None]
+
+    fp = gat(st.params, foe.reshape(-1)).reshape(foe.shape + (12,))
+    fspeed = gat(st.speed, foe.reshape(-1)).reshape(foe.shape)
+    has_foe = foe >= 0
+    self_yield = can_yield(speed[:, None], p[:, P_MAXNEGACC][:, None],
+                           p[:, P_YIELD][:, None], veh_len[:, None], d1)
+    foe_yield = can_yield(fspeed, fp[..., P_MAXNEGACC], fp[..., P_YIELD],
+                          fp[..., P_LEN], d2)
+
+    # reach steps (vehicle.cpp:270-273): target speed by link turn-ness
+    self_target = jnp.where(gat(net["ll_is_turn"], my_ll_g),
+                            p[:, P_TURNSPEED][:, None], max_speed[:, None])
+    foe_target = jnp.where(gat(net["ll_is_turn"], foe_ll),
+                           fp[..., P_TURNSPEED], fp[..., P_MAXSPEED])
+    sr = reach_steps(speed[:, None], d1, self_target,
+                     p[:, P_USUALPOSACC][:, None], dt)
+    fr = reach_steps(fspeed, d2, foe_target, fp[..., P_USUALPOSACC], dt)
+
+    my_ent = st.enter_ll_time[:, None]
+    foe_ent = gat(st.enter_ll_time, foe.reshape(-1)).reshape(foe.shape)
+    my_pri = st.priority[:, None]
+    foe_pri = gat(st.priority, foe.reshape(-1)).reshape(foe.shape)
+    foe_cleared = d2 + fp[..., P_LEN] < 0
+
+    # Cross::canPass decision tree (roadnet.cpp:604-660)
+    same_rank_y = jnp.where(
+        fr > sr, -1, jnp.where(
+            fr < sr, 1, jnp.where(
+                my_ent == foe_ent,
+                jnp.where(d1 == d2,
+                          jnp.where(my_pri > foe_pri, -1, 1),
+                          jnp.where(d1 < d2, -1, 1)),
+                jnp.where(my_ent < foe_ent, -1, 1))))
+    t_eq = jnp.where(d2 > 0, same_rank_y, jnp.where(foe_cleared, -1, 1))
+    t_lt_pre = jnp.where(d2 > 0,
+                         jnp.where(fr > sr, -1, 0),
+                         jnp.where(foe_cleared, -1, 0))
+    t_lt = jnp.where(t_lt_pre == 0, 1, t_lt_pre)
+    y0 = jnp.where(t1 > t2, -1, jnp.where(t1 < t2, t_lt, t_eq))
+    y = jnp.where(~foe_yield, 1, y0)
+    # deadlock: blocker-chain cycle from foe flips a yield to a pass
+    cyc = blocker_cycles(cfg, st.blocker)
+    foe_cyc = gat(cyc, foe.reshape(-1)).reshape(foe.shape)
+    y = jnp.where((y == 1) & foe_cyc, -1, y)
+    passes = ~has_foe | ~self_yield | (y == -1)
+
+    considered = cvalid & (d_onl >= dls[:, None])
+    fail = considered & ~passes
+    any_fail = jnp.any(fail, axis=1)
+    first_fail = jnp.argmax(fail, axis=1)
+    rowi = jnp.arange(fail.shape[0])
+    ff_d = d_onl[rowi, first_fail]
+    ff_foe = foe[rowi, first_fail]
+    v_stop_cross = stop_before_speed(
+        speed, p[:, P_USUALPOSACC], p[:, P_USUALNEGACC],
+        ff_d - dls - p[:, P_YIELD], dt)
+    v_isr = jnp.where(any_fail, jnp.minimum(v_isr, v_stop_cross), v_isr)
+    new_blocker = jnp.where(m & isr_related & ~red_stop & any_fail, ff_foe, -1)
+
+    # red branch returns early: skips turn cap and cross loop (vehicle.cpp:343-352)
+    v_isr_final = jnp.where(red_stop, v_red, v_isr)
+
+    # --- assemble getNextSpeed min-chain (vehicle.cpp:308-335) ---
+    v = max_speed
+    v = jnp.minimum(v, speed + p[:, P_MAXPOSACC] * dt)
+    v = jnp.minimum(v, gat(net["drv_max_speed"], st.drv).astype(f))
+    v = jnp.minimum(v, v_cf)
+    v = jnp.where(isr_related, jnp.minimum(v, v_isr_final), v)
+    # laneChange->yieldSpeed == 100 with no received signal (lanechange.cpp)
+    # invalid-lane stop (vehicle.cpp:325-328)
+    invalid = (veh_next < 0) & ~on_last_road(net, cfg, st.route, st.route_pos)
+    v_inv = no_collision_speed(f.type(0), f.type(1), speed, p[:, P_MAXNEGACC],
+                               lane_left, dt, p[:, P_MINGAP])
+    v = jnp.where(invalid, jnp.minimum(v, v_inv), v)
+    v = jnp.maximum(v, speed - p[:, P_MAXNEGACC] * dt)
+
+    # --- kinematics (engine.cpp:212-221) ---
+    neg = v < 0
+    delta_dis = jnp.where(neg, 0.5 * speed * speed / p[:, P_MAXNEGACC],
+                          (speed + v) * dt / 2)
+    new_speed = jnp.where(neg, f.type(0), v)
+
+    # --- setDeltaDistance hop walk (vehicle.cpp:49-68) ---
+    d = st.dis + delta_dis
+    cur = st.drv
+    pos = st.route_pos
+    end = jnp.zeros_like(m)
+    for _ in range(cfg.k_hop):
+        go = m & (cur >= 0) & (d > gat(net["drv_len"], cur).astype(f))
+        nd, npos = chain_step(net, cfg, st.route, pos, cur)
+        hit_end = go & (nd < 0)
+        end = end | hit_end
+        d = jnp.where(go, d - gat(net["drv_len"], cur).astype(f), d)
+        cur = jnp.where(go, nd, cur)
+        pos = jnp.where(go, npos, pos)
+    ov_hop = jnp.any(m & (cur >= 0) & (d > gat(net["drv_len"], cur).astype(f)))
+    changed = m & (cur != st.drv)
+
+    buf = dict(dis=jnp.where(m, d, st.dis),
+               speed=jnp.where(m, new_speed, st.speed),
+               drv=cur, route_pos=pos, changed=changed,
+               end=end, blocker=new_blocker)
+    return buf, ov_hop
+
+
+def update_location(net, cfg: StepConfig, st: SimState, arr, buf):
+    """Engine::threadUpdateLocation + main-stage push (engine.cpp:282-315,
+    477-494): removals (finish stats in drivable-list order) and transfers
+    (pushBuffer sorted by new distance desc)."""
+    f = st.dis.dtype
+    m = st.running
+    removed = m & buf["end"]
+
+    # finish stats, summed in (drivable, list-rank) order for exact parity
+    # with the single-thread reference accumulation (engine.cpp:296-303)
+    now = st.step.astype(f) * f.type(cfg.interval)
+    tt = now - st.enter_time
+    if cfg.exact:
+        rm_sorted = removed[arr["sorted_idx"]]
+        pos = jnp.nonzero(rm_sorted, size=cfg.max_remove, fill_value=-1)[0]
+        vals = jnp.where(pos >= 0, tt[arr["sorted_idx"]][jnp.clip(pos, 0)], f.type(0))
+        total = jax.lax.fori_loop(
+            0, cfg.max_remove, lambda i, acc: acc + vals[i], f.type(0))
+        ov_rm = jnp.sum(removed) > cfg.max_remove
+    else:
+        total = jnp.sum(jnp.where(removed, tt, f.type(0)))
+        ov_rm = jnp.array(False)
+    n_rm = jnp.sum(removed).astype(jnp.int32)
+
+    # transfers: assign new list order by buffered-distance desc (engine.cpp:480)
+    trans = m & buf["changed"] & ~removed
+    neg_dis = jnp.where(trans, -buf["dis"], jnp.inf)
+    order = jnp.argsort(neg_dis, stable=True)  # ties: uid-stable fallback
+    rank = jnp.zeros_like(st.list_seq).at[order].set(
+        jnp.arange(cfg.max_vehicles, dtype=jnp.int32))
+    new_seq = jnp.where(trans, st.seq_counter + rank, st.list_seq)
+    n_trans = jnp.sum(trans).astype(jnp.int32)
+
+    # enterLaneLinkTime on push (engine.cpp:484-491)
+    to_ll = buf["drv"] >= cfg.num_lanes
+    new_ent = jnp.where(trans,
+                        jnp.where(to_ll, st.step, INT_MAX),
+                        st.enter_ll_time).astype(jnp.int32)
+
+    st = st.replace_fields(
+        finished_cnt=st.finished_cnt + n_rm,
+        cum_travel=st.cum_travel + total,
+        list_seq=new_seq, enter_ll_time=new_ent,
+        seq_counter=st.seq_counter + n_trans,
+        overflow=st.overflow | jnp.where(ov_rm, OV_REMOVE, 0).astype(jnp.int32))
+    return st, removed
+
+
+def commit(net, cfg: StepConfig, st: SimState, buf, removed):
+    """Vehicle::update (vehicle.cpp:107-143) for survivors; removed slots
+    are freed (engine.cpp:296-310)."""
+    m = st.running & ~removed
+    changed = buf["changed"] & m
+    st = st.replace_fields(
+        dis=jnp.where(m, buf["dis"], st.dis),
+        speed=jnp.where(m, buf["speed"], st.speed),
+        prev_drv=jnp.where(changed, st.drv, st.prev_drv),
+        drv=jnp.where(changed, buf["drv"], jnp.where(removed, -1, st.drv)),
+        route_pos=jnp.where(changed, buf["route_pos"], st.route_pos),
+        blocker=jnp.where(m, buf["blocker"], -1),
+        has_custom=jnp.zeros_like(st.has_custom),
+        active=st.active & ~removed,
+        running=m,
+    )
+    # clear blockers pointing at vehicles removed this step (engine.cpp:419-421)
+    bl_removed = gat(removed, st.blocker) & (st.blocker >= 0)
+    st = st.replace_fields(blocker=jnp.where(bl_removed, -1, st.blocker))
+    return st
+
+
+def update_leader_and_gap(net, cfg: StepConfig, st: SimState):
+    """Engine::threadUpdateLeaderAndGap (engine.cpp:429-442)."""
+    arr = arrangement(net, cfg, st.running, st.drv, st.dis, st.list_seq)
+    in_leader = arr["leader"]
+    has_in = in_leader >= 0
+    gap_in = gat(st.dis, in_leader) - gat(st.params[:, P_LEN], in_leader) - st.dis
+    need_scan = st.running & ~has_in
+    sl, sg = leader_scan(net, cfg, st, arr, need_scan)
+    leader = jnp.where(st.running, jnp.where(has_in, in_leader, sl), -1)
+    gap = jnp.where(st.running, jnp.where(has_in, gap_in, sg), st.gap)
+    st = st.replace_fields(leader=leader, gap=gap, last_of_drv=arr["last_of"])
+    return st, arr
+
+
+def pass_time(net, cfg: StepConfig, st: SimState):
+    """TrafficLight::passTime (trafficlight.cpp:29-37), fixed-time mode."""
+    f = st.phase_remain.dtype
+    n = net["n_phases"]
+    has = (n > 0) & ~net["inter_virtual"]
+    remain = jnp.where(has, st.phase_remain - f.type(cfg.interval), st.phase_remain)
+    phase = st.phase
+    for _ in range(cfg.k_phase):
+        go = has & (remain <= 0)
+        nxt = jnp.where(go, (phase + 1) % jnp.maximum(n, 1), phase)
+        t = gat(net["phase_time"], net["phase_offset"] + nxt).astype(f)
+        remain = jnp.where(go, remain + t, remain)
+        phase = nxt
+    return st.replace_fields(phase=phase, phase_remain=remain)
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def step(net: Dict[str, Any], cfg: StepConfig, st: SimState, spawn_tbl):
+    """One Engine::nextStep (engine.cpp:566-594), laneChange disabled."""
+    # Flow::nextStep + planRoute (host-precomputed RNG replay)
+    st = spawn_vehicles(net, cfg, st, spawn_tbl)
+
+    # handleWaiting (uses end-of-previous-step arrangement for lane tails)
+    arr_prev = dict(last_of=st.last_of_drv)
+    st, arr = admit_waiting(net, cfg, st, arr_prev)
+
+    # notifyCross
+    ll_avail = lanelink_available(net, cfg, st)
+    veh_next, _ = chain_step(net, cfg, st.route, st.route_pos, st.drv)
+    notify_veh, notify_dist = notify_cross(net, cfg, st, arr, veh_next, ll_avail)
+
+    # getAction
+    buf, ov_hop = get_action(net, cfg, st, arr, veh_next, ll_avail,
+                             notify_veh, notify_dist)
+
+    # updateLocation / updateAction
+    st, removed = update_location(net, cfg, st, arr, buf)
+    st = commit(net, cfg, st, buf, removed)
+
+    # updateLeaderAndGap
+    st, _arr2 = update_leader_and_gap(net, cfg, st)
+
+    # traffic lights
+    if not cfg.rl_traffic_light:
+        st = pass_time(net, cfg, st)
+
+    ov = jnp.where(ov_hop, OV_HOPS, 0) | jnp.where(
+        arr["overflow_link"], OV_LINK_TABLE, 0)
+    st = st.replace_fields(step=st.step + 1,
+                           overflow=st.overflow | ov.astype(jnp.int32))
+    return st

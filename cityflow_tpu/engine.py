@@ -1,0 +1,427 @@
+"""`cityflow_tpu.Engine` — the reference-compatible Python API.
+
+Mirrors the pybind11 surface of the reference `cityflow.Engine`
+(reference: src/cityflow.cpp:10-47). The simulation itself runs as one jitted
+array program per step (core/step.py); this class is the host-side shell:
+scenario compilation, spawn-table management, capacity growth, and getter
+formatting (string ids, dict marshalling).
+"""
+
+import copy
+import json
+import math
+import os
+from dataclasses import replace as dc_replace
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cityflow_tpu.compiler.net import CompiledNet, compile_scenario, INT_MAX
+from cityflow_tpu.compiler.spawn import SpawnGenerator
+from cityflow_tpu.core.state import SimState, StepConfig, init_state
+from cityflow_tpu.core import step as step_mod
+from cityflow_tpu.core.step import (
+    OV_SLOTS, OV_LINK_TABLE, OV_HOPS, OV_REMOVE, P_LEN)
+
+
+def ensure_exact_cpu_flags():
+    """Exact mode needs strict per-op IEEE f64: the reference is built with
+    g++ -O2 (no -mfma), while XLA:CPU contracts mul+add into FMA by default.
+    Capping codegen at SSE4.2 (no FMA instruction) restores bit-exactness.
+    Must run before the CPU backend initializes."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=SSE4_2").strip()
+
+
+_cache_enabled = False
+
+
+def _enable_compilation_cache():
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    cache_dir = os.environ.get("CITYFLOW_TPU_CACHE",
+                               os.path.expanduser("~/.cache/cityflow_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def _net_device_arrays(net: CompiledNet) -> Dict[str, jnp.ndarray]:
+    keys = ["drv_len", "drv_max_speed", "lane_road", "lane_local", "lane_out",
+            "ll_start", "ll_end", "ll_is_turn", "ll_type", "ll_inter",
+            "ll_rl_local", "phase_offset", "n_phases", "phase_time",
+            "phase_rl_avail", "inter_virtual", "cross_dist", "cross_ll",
+            "ll_cross_idx", "ll_cross_side", "route_len", "route_roads",
+            "route_next_ll", "flow_route", "flow_params", "flow_interval",
+            "flow_start", "flow_end"]
+    return {k: jnp.asarray(getattr(net, k)) for k in keys}
+
+
+class Archive:
+    """In-memory snapshot (reference: src/engine/archive.{h,cpp}). State is
+    immutable jax arrays, so a snapshot is just a reference copy."""
+
+    def __init__(self, state: SimState, host_aux: dict):
+        self.state = state
+        self.host_aux = copy.deepcopy(host_aux)
+
+    def dump(self, path: str):
+        from cityflow_tpu import serialize
+        serialize.dump_archive(self, path)
+
+
+class Engine:
+    def __init__(self, config_file: str, thread_num: int = 1,
+                 exact: bool = True, max_vehicles: int = 2048,
+                 spawn_horizon: int = 4096):
+        del thread_num  # results are threadNum-independent (SURVEY.md 2.4)
+        self._config_file = config_file
+        self.net = compile_scenario(config_file)
+        cfgj = self.net.host.config
+        self.interval = float(cfgj["interval"])
+        self.seed = int(cfgj["seed"])
+        self.rl_traffic_light = bool(cfgj["rlTrafficLight"])
+        self.lane_change = bool(cfgj.get("laneChange", False))
+        self.save_replay_in_config = bool(cfgj.get("saveReplay", False))
+        self.save_replay = self.save_replay_in_config
+        self._exact = exact
+        if exact:
+            jax.config.update("jax_enable_x64", True)
+        _enable_compilation_cache()
+
+        self._net_dev = _net_device_arrays(self.net)
+        self._spawn_horizon = spawn_horizon
+        self._spawn = SpawnGenerator(self.net, self.seed, self.interval)
+        self._spawn.extend(spawn_horizon)
+        self._spawn_dev = None
+        self._upload_spawn()
+
+        kc = max(self.net.host.kc, 1)
+        ko = max(self.net.host.ko, 1)
+        self.cfg = StepConfig(
+            interval=self.interval,
+            num_lanes=self.net.num_lanes,
+            num_drivables=self.net.num_lanes + self.net.num_links,
+            max_vehicles=max_vehicles,
+            max_spawn_per_step=self._spawn.max_per_step,
+            k_out=ko, k_cross=kc,
+            rl_traffic_light=self.rl_traffic_light,
+            lane_change=self.lane_change,
+            exact=exact)
+        self.state = self._fresh_state()
+        self._manually_pushed = 0
+        self._pushed_ids: Dict[int, str] = {}   # uid -> custom id
+        self._fetched_step = -1
+        self._cache: Dict[str, np.ndarray] = {}
+        self._replay = None
+        if self.save_replay:
+            self._open_replay(cfgj.get("roadnetLogFile"), cfgj.get("replayLogFile"))
+
+    # ------------------------------------------------------------------
+    # infrastructure
+    # ------------------------------------------------------------------
+    def _fresh_state(self) -> SimState:
+        return init_state(self.cfg, self.net.num_inters, self.net.phase_time,
+                          self.net.n_phases, self.net.phase_offset)
+
+    def _upload_spawn(self):
+        t = self._spawn.arrays()
+        pad = max(self._spawn.max_per_step, 1)
+        def p(a, fill):
+            return jnp.asarray(np.concatenate(
+                [a, np.full(pad, fill, a.dtype)]))
+        self._spawn_dev = dict(
+            step=p(t["step"], -1), flow=p(t["flow"], 0),
+            priority=p(t["priority"], 0),
+            first_drv=p(t["first_drv"], 0), route=p(t["route"], 0))
+
+    def _grow(self, bits: int):
+        cfg = self.cfg
+        if bits & OV_SLOTS:
+            cfg = dc_replace(cfg, max_vehicles=cfg.max_vehicles * 2)
+        if bits & OV_LINK_TABLE:
+            cfg = dc_replace(cfg, k_link=cfg.k_link * 2)
+        if bits & OV_HOPS:
+            cfg = dc_replace(cfg, k_hop=cfg.k_hop * 2)
+        if bits & OV_REMOVE:
+            cfg = dc_replace(cfg, max_remove=cfg.max_remove * 2)
+        oldV = self.cfg.max_vehicles
+        self.cfg = cfg
+        if cfg.max_vehicles != oldV:
+            self.state = _pad_state(self.state, oldV, cfg.max_vehicles)
+
+    def _step_once(self):
+        if int(self.state.step) + 1 >= self._spawn.next_step:
+            self._spawn.extend(self._spawn.next_step * 2)
+            self._upload_spawn()
+            if self._spawn.max_per_step > self.cfg.max_spawn_per_step:
+                self.cfg = dc_replace(
+                    self.cfg, max_spawn_per_step=self._spawn.max_per_step)
+        prev = self.state
+        for _ in range(8):  # capacity growth retries
+            new = step_mod.step(self._net_dev, self.cfg, prev, self._spawn_dev)
+            ov = int(new.overflow) & ~int(prev.overflow)
+            if ov == 0:
+                self.state = new
+                return
+            self._grow(ov)
+            prev = _pad_state(prev, prev.active.shape[0],
+                              self.cfg.max_vehicles)
+        raise RuntimeError("simulation capacity growth failed")
+
+    def _fetch(self) -> Dict[str, np.ndarray]:
+        key = (int(self.state.step), int(self.state.spawn_cursor))
+        if self._fetched_step != key:
+            st = self.state
+            names = ["active", "running", "dis", "speed", "drv", "prev_drv",
+                     "route", "route_pos", "enter_time", "priority", "leader",
+                     "gap", "list_seq", "uid"]
+            vals = jax.device_get([getattr(st, n) for n in names])
+            self._cache = dict(zip(names, vals))
+            self._fetched_step = key
+        return self._cache
+
+    def _veh_id(self, uid: int) -> str:
+        if uid in self._pushed_ids:
+            return self._pushed_ids[uid]
+        t = self._spawn.arrays()
+        return f"flow_{t['flow'][uid]}_{t['cnt'][uid]}"
+
+    def _id_to_slot(self, vid: str) -> Optional[int]:
+        c = self._fetch()
+        for slot in np.nonzero(c["active"])[0]:
+            if self._veh_id(int(c["uid"][slot])) == vid:
+                return int(slot)
+        return None
+
+    def _lane_order(self, c):
+        """Front-to-back per-drivable vehicle order (distance desc, list_seq)."""
+        run = np.nonzero(c["running"])[0]
+        order = run[np.lexsort((c["list_seq"][run], -c["dis"][run],
+                                c["drv"][run]))]
+        return order
+
+    # ------------------------------------------------------------------
+    # control API (reference cityflow.cpp:12-46)
+    # ------------------------------------------------------------------
+    def next_step(self):
+        self._step_once()
+        if self.save_replay and self._replay is not None:
+            self._write_replay_line()
+
+    def reset(self, seed: bool = False):
+        """reference Engine::reset (engine.cpp:744-760): flows and state
+        reset; the mt19937 stream continues unless resetRnd."""
+        self.state = self._fresh_state()
+        self._pushed_ids.clear()
+        self._manually_pushed = 0
+        self._fetched_step = -1
+        self._spawn.reset_flows(reseed_to=self.seed if seed else None)
+        self._spawn.extend(self._spawn_horizon)
+        self._upload_spawn()
+        return None
+
+    def set_random_seed(self, seed: int):
+        """reference Engine::setRandomSeed: reseeds the stream mid-run."""
+        self.seed = int(seed)
+        self._spawn.reseed(seed, int(self.state.step))
+        self._spawn.extend(max(self._spawn_horizon, int(self.state.step) * 2))
+        self._upload_spawn()
+
+    def set_tl_phase(self, intersection_id: str, phase_id: int):
+        """reference engine.cpp:719-725 (guarded by rlTrafficLight)."""
+        if not self.rl_traffic_light:
+            print("please set rlTrafficLight to true to enable traffic light control")
+            return
+        idx = self.net.host.inter_index[intersection_id]
+        self.state = self.state.replace_fields(
+            phase=self.state.phase.at[idx].set(int(phase_id)))
+
+    def set_vehicle_speed(self, vid: str, speed: float):
+        slot = self._id_to_slot(vid)
+        if slot is None:
+            raise RuntimeError(f"Vehicle '{vid}' not found")
+        st = self.state
+        self.state = st.replace_fields(
+            custom_speed=st.custom_speed.at[slot].set(speed),
+            has_custom=st.has_custom.at[slot].set(True))
+
+    def set_vehicle_route(self, vid: str, anchors: List[str]) -> bool:
+        raise NotImplementedError("set_vehicle_route lands with dynamic routing")
+
+    def push_vehicle(self, info: dict, roads: List[str]):
+        raise NotImplementedError("push_vehicle lands with dynamic routing")
+
+    # ------------------------------------------------------------------
+    # query API
+    # ------------------------------------------------------------------
+    def get_current_time(self) -> float:
+        return int(self.state.step) * self.interval
+
+    def get_vehicle_count(self) -> int:
+        c = self._fetch()
+        return int(np.sum(c["running"]))
+
+    def get_vehicles(self, include_waiting: bool = False) -> List[str]:
+        """Pool order = std::map<int priority> ascending (engine.cpp:780-790)."""
+        c = self._fetch()
+        mask = c["active"] if include_waiting else c["running"]
+        slots = np.nonzero(mask)[0]
+        slots = slots[np.argsort(c["priority"][slots], kind="stable")]
+        return [self._veh_id(int(c["uid"][s])) for s in slots]
+
+    def get_lane_vehicle_count(self) -> Dict[str, int]:
+        c = self._fetch()
+        counts = np.bincount(c["drv"][c["running"]],
+                             minlength=self.cfg.num_drivables)
+        return {lid: int(counts[i]) for i, lid in enumerate(self.net.host.lane_ids)}
+
+    def get_lane_waiting_vehicle_count(self) -> Dict[str, int]:
+        """speed < 0.1 -> waiting (engine.cpp:641)."""
+        c = self._fetch()
+        m = c["running"] & (c["speed"] < 0.1)
+        counts = np.bincount(c["drv"][m], minlength=self.cfg.num_drivables)
+        return {lid: int(counts[i]) for i, lid in enumerate(self.net.host.lane_ids)}
+
+    def get_lane_vehicles(self) -> Dict[str, List[str]]:
+        c = self._fetch()
+        ret = {lid: [] for lid in self.net.host.lane_ids}
+        L = self.cfg.num_lanes
+        for slot in self._lane_order(c):
+            d = c["drv"][slot]
+            if d < L:
+                ret[self.net.host.lane_ids[d]].append(
+                    self._veh_id(int(c["uid"][slot])))
+        return ret
+
+    def get_vehicle_speed(self) -> Dict[str, float]:
+        c = self._fetch()
+        return {self._veh_id(int(c["uid"][s])): float(c["speed"][s])
+                for s in self._pool_order(c)}
+
+    def get_vehicle_distance(self) -> Dict[str, float]:
+        c = self._fetch()
+        return {self._veh_id(int(c["uid"][s])): float(c["dis"][s])
+                for s in self._pool_order(c)}
+
+    def _pool_order(self, c):
+        slots = np.nonzero(c["running"])[0]
+        return slots[np.argsort(c["priority"][slots], kind="stable")]
+
+    def get_leader(self, vid: str) -> str:
+        c = self._fetch()
+        slot = self._id_to_slot(vid)
+        if slot is None:
+            raise RuntimeError(f"Vehicle '{vid}' not found")
+        l = c["leader"][slot]
+        return self._veh_id(int(c["uid"][l])) if l >= 0 else ""
+
+    def get_average_travel_time(self) -> float:
+        """reference engine.cpp:682-691: finished cumulative + in-flight,
+        summed over the pool in priority order (float64 order preserved)."""
+        c = self._fetch()
+        tt = float(self.state.cum_travel)
+        n = int(self.state.finished_cnt)
+        now = self.get_current_time()
+        slots = np.nonzero(c["active"])[0]
+        slots = slots[np.argsort(c["priority"][slots], kind="stable")]
+        for s in slots:
+            tt += now - float(c["enter_time"][s])
+            n += 1
+        return 0.0 if n == 0 else tt / n
+
+    def get_vehicle_info(self, vid: str) -> Dict[str, str]:
+        """reference vehicle.cpp:435-457 (std::to_string -> '%f' 6dp)."""
+        c = self._fetch()
+        slot = self._id_to_slot(vid)
+        if slot is None:
+            raise RuntimeError(f"Vehicle '{vid}' not found")
+        running = bool(c["running"][slot])
+        info = {"running": str(int(running))}
+        if not running:
+            return info
+        host = self.net.host
+        L = self.cfg.num_lanes
+        d = int(c["drv"][slot])
+        info["distance"] = f"{float(c['dis'][slot]):.6f}"
+        info["speed"] = f"{float(c['speed'][slot]):.6f}"
+        info["drivable"] = (host.lane_ids[d] if d < L else host.ll_ids[d - L])
+        if d < L:
+            road = host.net.lanes[d].road
+            info["road"] = road.id
+            info["intersection"] = road.end_intersection.id
+        route = host.routes[int(c["route"][slot])]
+        pos = int(c["route_pos"][slot])
+        info["route"] = "".join(r.id + " " for r in route[pos:])
+        return info
+
+    # ------------------------------------------------------------------
+    # replay / archive
+    # ------------------------------------------------------------------
+    def set_save_replay(self, open_: bool):
+        if not self.save_replay_in_config:
+            print("saveReplay is not set to true in config file!")
+            return
+        self.save_replay = open_
+
+    def set_replay_file(self, path: str):
+        if not self.save_replay_in_config:
+            print("saveReplay is not set to true in config file!")
+            return
+        self._open_replay(None, path)
+
+    def _open_replay(self, roadnet_log, replay_log):
+        from cityflow_tpu import replay
+        base = self.net.host.dir
+        if roadnet_log:
+            replay.write_roadnet_log(self.net, os.path.join(base, roadnet_log))
+        if self._replay is not None:
+            self._replay.close()
+        self._replay = open(os.path.join(base, replay_log), "w")
+
+    def _write_replay_line(self):
+        from cityflow_tpu import replay
+        self._replay.write(replay.step_line(self, self._fetch()) + "\n")
+        self._replay.flush()
+
+    def snapshot(self) -> Archive:
+        return Archive(self.state, dict(pushed=self._pushed_ids,
+                                        manually_pushed=self._manually_pushed))
+
+    def load(self, archive: Archive):
+        self.state = archive.state
+        self._pushed_ids = copy.deepcopy(archive.host_aux["pushed"])
+        self._manually_pushed = archive.host_aux["manually_pushed"]
+        self._fetched_step = -1
+
+    def load_from_file(self, path: str):
+        from cityflow_tpu import serialize
+        serialize.load_archive_into(self, path)
+
+
+def _pad_state(st: SimState, old_v: int, new_v: int) -> SimState:
+    if new_v == old_v:
+        return st
+    pad = new_v - old_v
+    def grow(a, fill):
+        extra = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, extra], axis=0)
+    return st.replace_fields(
+        active=grow(st.active, False), running=grow(st.running, False),
+        dis=grow(st.dis, 0), speed=grow(st.speed, 0),
+        drv=grow(st.drv, -1), prev_drv=grow(st.prev_drv, -1),
+        route=grow(st.route, 0), route_pos=grow(st.route_pos, 0),
+        enter_time=grow(st.enter_time, 0),
+        enter_ll_time=grow(st.enter_ll_time, INT_MAX),
+        priority=grow(st.priority, 0), leader=grow(st.leader, -1),
+        gap=grow(st.gap, 0), blocker=grow(st.blocker, -1),
+        custom_speed=grow(st.custom_speed, 0),
+        has_custom=grow(st.has_custom, False),
+        list_seq=grow(st.list_seq, 0), uid=grow(st.uid, -1),
+        params=grow(st.params, 0))

@@ -1,0 +1,51 @@
+"""Archive disk round-trip (reference: archive.cpp:153-550 dump/load).
+
+Serializes the full SimState pytree plus host aux to JSON. The reference
+format serializes C++ object graphs; ours serializes the array state — both
+satisfy the same contract (dump -> load_from_file reproduces trajectories,
+tests/python/test_archive.py semantics).
+"""
+
+import base64
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _enc(a):
+    a = np.asarray(a)
+    return {"d": base64.b64encode(a.tobytes()).decode(),
+            "s": list(a.shape), "t": a.dtype.str}
+
+
+def _dec(e):
+    return np.frombuffer(base64.b64decode(e["d"]),
+                         dtype=np.dtype(e["t"])).reshape(e["s"])
+
+
+def dump_archive(archive, path: str):
+    leaves, treedef = jax.tree_util.tree_flatten(archive.state)
+    doc = {
+        "format": "cityflow_tpu/archive/v1",
+        "leaves": [_enc(l) for l in leaves],
+        "host_aux": {"pushed": {str(k): v for k, v in
+                                archive.host_aux["pushed"].items()},
+                     "manually_pushed": archive.host_aux["manually_pushed"]},
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_archive_into(engine, path: str):
+    from cityflow_tpu.engine import Archive
+    with open(path) as f:
+        doc = json.load(f)
+    assert doc["format"] == "cityflow_tpu/archive/v1"
+    leaves, treedef = jax.tree_util.tree_flatten(engine.state)
+    new_leaves = [jnp.asarray(_dec(e)) for e in doc["leaves"]]
+    state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    aux = {"pushed": {int(k): v for k, v in doc["host_aux"]["pushed"].items()},
+           "manually_pushed": doc["host_aux"]["manually_pushed"]}
+    engine.load(Archive(state, aux))
