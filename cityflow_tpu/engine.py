@@ -52,7 +52,10 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def _net_device_arrays(net: CompiledNet) -> Dict[str, jnp.ndarray]:
+def _net_device_arrays(net: CompiledNet, dtype=None) -> Dict[str, jnp.ndarray]:
+    """Static tables to device. Float tables are cast to the working dtype —
+    stray f64 in the fast path would silently run in (slow, emulated) f64 on
+    TPU."""
     keys = ["drv_len", "drv_max_speed", "lane_road", "lane_local", "lane_out",
             "ll_start", "ll_end", "ll_is_turn", "ll_type", "ll_inter",
             "ll_rl_local", "phase_offset", "n_phases", "phase_time",
@@ -60,7 +63,13 @@ def _net_device_arrays(net: CompiledNet) -> Dict[str, jnp.ndarray]:
             "ll_cross_idx", "ll_cross_side", "route_len", "route_roads",
             "route_next_ll", "flow_route", "flow_params", "flow_interval",
             "flow_start", "flow_end"]
-    return {k: jnp.asarray(getattr(net, k)) for k in keys}
+    out = {}
+    for k in keys:
+        a = np.asarray(getattr(net, k))
+        if dtype is not None and a.dtype == np.float64:
+            a = a.astype(dtype)
+        out[k] = jnp.asarray(a)
+    return out
 
 
 class Archive:
@@ -95,7 +104,8 @@ class Engine:
             jax.config.update("jax_enable_x64", True)
         _enable_compilation_cache()
 
-        self._net_dev = _net_device_arrays(self.net)
+        self._net_dev = _net_device_arrays(
+            self.net, np.float64 if exact else np.float32)
         self._spawn_horizon = spawn_horizon
         self._spawn = SpawnGenerator(self.net, self.seed, self.interval)
         self._spawn.extend(spawn_horizon)

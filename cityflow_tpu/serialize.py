@@ -40,12 +40,17 @@ def dump_archive(archive, path: str):
 
 def load_archive_into(engine, path: str):
     from cityflow_tpu.engine import Archive
+    from dataclasses import replace as dc_replace
     with open(path) as f:
         doc = json.load(f)
     assert doc["format"] == "cityflow_tpu/archive/v1"
     leaves, treedef = jax.tree_util.tree_flatten(engine.state)
     new_leaves = [jnp.asarray(_dec(e)) for e in doc["leaves"]]
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    # the dump may come from an engine whose slot pool had grown
+    v_loaded = state.active.shape[0]
+    if v_loaded != engine.cfg.max_vehicles:
+        engine.cfg = dc_replace(engine.cfg, max_vehicles=v_loaded)
     aux = {"pushed": {int(k): v for k, v in doc["host_aux"]["pushed"].items()},
            "manually_pushed": doc["host_aux"]["manually_pushed"]}
     engine.load(Archive(state, aux))
