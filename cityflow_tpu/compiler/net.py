@@ -61,6 +61,17 @@ class CompiledNet:
     cross_ll: np.ndarray = None         # (C, 2) i32 lanelink idx (not drivable idx)
     ll_cross_idx: np.ndarray = None     # (LL, KC) i32, -1 pad, ASC by distance
     ll_cross_side: np.ndarray = None    # (LL, KC) i32
+    # packed per-link cross tables (row-gather-friendly on TPU: one dynamic
+    # row index per vehicle instead of (V, KC) element gathers)
+    lnk_cross_d: np.ndarray = None      # (LL, KC) f64 distance of cross k on link
+    lnk_cross_valid: np.ndarray = None  # (LL, KC) bool
+    lnk_cross_selfflat: np.ndarray = None  # (LL, KC) i32 = cross*2 + side
+    lnk_cross_foeflat: np.ndarray = None   # (LL, KC) i32 = cross*2 + (1-side)
+    lnk_cross_foetype: np.ndarray = None   # (LL, KC) i32 foe lanelink RoadLinkType
+    cross_end_lane: np.ndarray = None   # (C, 2) i32 end lane of each side's link
+    cross_start_lane: np.ndarray = None # (C, 2) i32
+    cross_type: np.ndarray = None       # (C, 2) i32 RoadLinkType per side
+    cross_is_turn: np.ndarray = None    # (C, 2) bool per side
 
     # routes
     route_len: np.ndarray = None        # (NR,) i32
@@ -193,6 +204,32 @@ def compile_arrays(net: HostRoadNet, flows: List[FlowSpec], routes,
             ll_cross_side[ll.index, j] = 0 if c.lane_links[0] is ll else 1
     out.ll_cross_idx = ll_cross_idx
     out.ll_cross_side = ll_cross_side
+
+    # packed per-link / per-side cross tables
+    valid = ll_cross_idx >= 0
+    safe_idx = np.where(valid, ll_cross_idx, 0)
+    out.lnk_cross_valid = valid
+    out.lnk_cross_d = np.where(
+        valid, out.cross_dist[safe_idx, ll_cross_side], 0.0) \
+        if C else np.zeros_like(ll_cross_idx, np.float64)
+    out.lnk_cross_selfflat = np.where(valid, safe_idx * 2 + ll_cross_side, 0)
+    out.lnk_cross_foeflat = np.where(valid, safe_idx * 2 + (1 - ll_cross_side), 0)
+    if C:
+        ll_type_arr = out.ll_type
+        out.cross_type = ll_type_arr[out.cross_ll]
+        out.cross_is_turn = out.ll_is_turn[out.cross_ll]
+        out.cross_end_lane = out.ll_end[out.cross_ll]
+        out.cross_start_lane = out.ll_start[out.cross_ll]
+        foe_side = 1 - ll_cross_side
+        out.lnk_cross_foetype = np.where(
+            valid, out.cross_type[safe_idx, foe_side], 0)
+    else:
+        z2 = np.zeros((0, 2), np.int32)
+        out.cross_type = z2
+        out.cross_is_turn = np.zeros((0, 2), bool)
+        out.cross_end_lane = z2
+        out.cross_start_lane = z2
+        out.lnk_cross_foetype = np.zeros_like(ll_cross_idx)
 
     # routes + next-lanelink tables
     NR = max(len(routes), 1)

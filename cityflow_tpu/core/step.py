@@ -45,10 +45,14 @@ def gat(a, i, fill=None):
 # arrangement: per-drivable ordered lists via one global sort
 # ---------------------------------------------------------------------------
 
-def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq):
+def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq, veh_len):
     """Reproduce the reference's per-drivable std::list order: vehicles sorted
     by distance DESC, ties by insertion order (Drivable::pushVehicle appends;
-    pushBuffer pre-sorted by distance desc, engine.cpp:480-493)."""
+    pushBuffer pre-sorted by distance desc, engine.cpp:480-493).
+
+    Also emits dense per-lanelink attribute tables (vehicle slot, distance,
+    length) so the conflict-cross phases read contiguous rows instead of
+    issuing per-element gathers (the dominant TPU cost otherwise)."""
     V = cfg.max_vehicles
     D = cfg.num_drivables
     L = cfg.num_lanes
@@ -56,7 +60,7 @@ def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq):
     key_drv = jnp.where(running, drv, D).astype(jnp.int32)
     neg_dis = jnp.where(running, -dis, jnp.zeros_like(dis))
     idx = jnp.arange(V, dtype=jnp.int32)
-    s_drv, _nd, _sq, s_idx = jax.lax.sort(
+    s_drv, s_negdis, _sq, s_idx = jax.lax.sort(
         (key_drv, neg_dis, list_seq, idx), num_keys=3)
 
     pos = jnp.arange(V, dtype=jnp.int32)
@@ -81,15 +85,21 @@ def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq):
 
     on_link = valid & (s_drv >= L)
     in_table = on_link & (rank < cfg.k_link)
-    flat = (s_drv - L) * cfg.k_link + rank
-    link_veh = jnp.full(max(LL, 1) * cfg.k_link + 1, -1, jnp.int32).at[
-        jnp.where(in_table, flat, max(LL, 1) * cfg.k_link)
-    ].set(s_idx, mode="drop")[:-1].reshape(max(LL, 1), cfg.k_link)
+    nrows = max(LL, 1) * cfg.k_link
+    flat = jnp.where(in_table, (s_drv - L) * cfg.k_link + rank, nrows)
+    link_veh = jnp.full(nrows + 1, -1, jnp.int32).at[
+        flat].set(s_idx, mode="drop")[:-1].reshape(max(LL, 1), cfg.k_link)
+    link_dis = jnp.zeros(nrows + 1, dis.dtype).at[
+        flat].set(-s_negdis, mode="drop")[:-1].reshape(max(LL, 1), cfg.k_link)
+    link_len = jnp.zeros(nrows + 1, dis.dtype).at[
+        flat].set(veh_len[s_idx], mode="drop")[:-1].reshape(max(LL, 1),
+                                                            cfg.k_link)
 
     ov = jnp.any(on_link & (rank >= cfg.k_link))
     rank_of = jnp.zeros(V, jnp.int32).at[s_idx].set(rank)
     return dict(leader=leader, first_of=first_of, last_of=last_of,
-                link_veh=link_veh, sorted_idx=s_idx, sorted_drv=s_drv,
+                link_veh=link_veh, link_dis=link_dis, link_len=link_len,
+                sorted_idx=s_idx, sorted_drv=s_drv,
                 rank=rank_of, overflow_link=ov)
 
 
@@ -187,6 +197,16 @@ def can_yield(speed, max_neg, yield_dist, length, d):
 # leader scan across upcoming drivables (vehicle.cpp:157-196)
 # ---------------------------------------------------------------------------
 
+def pack_attrs(st: SimState):
+    """Hot per-vehicle attributes packed as rows: ONE contiguous row gather
+    replaces several element gathers (TPU gathers pay per index, not per
+    byte). fpack = [dis, speed, len]; ipack = [prev_drv, enter_ll_time,
+    priority]."""
+    fpack = jnp.stack([st.dis, st.speed, st.params[:, P_LEN]], axis=-1)
+    ipack = jnp.stack([st.prev_drv, st.enter_ll_time, st.priority], axis=-1)
+    return fpack, ipack
+
+
 def leader_scan(net, cfg: StepConfig, st: SimState, arr, mask):
     """Vectorized Vehicle::updateLeaderAndGap fallback scan for vehicles with
     no leader on their own drivable. Returns (leader_idx, gap)."""
@@ -211,17 +231,20 @@ def leader_scan(net, cfg: StepConfig, st: SimState, arr, mask):
         # lanelink: scan ALL lanelinks leaving the same start lane (overlap
         # rule, vehicle.cpp:170-180), min gap with strict <, first wins
         start_lane = gat(net["ll_start"], nd - L)
+        fpack = jnp.stack([st.dis, veh_len], axis=-1)
         best_cand = jnp.full_like(nd, -1)
         best_gap = jnp.zeros_like(fgap)
         for k in range(cfg.k_out):
             ol = gat(net["lane_out"], start_lane)[:, k]
             cand = jnp.where(ol >= 0, gat(arr["last_of"], ol), -1)
-            cgap = dis_rem + gat(st.dis, cand) - gat(veh_len, cand)
+            ca = gat(fpack, cand)
+            cgap = dis_rem + ca[:, 0] - ca[:, 1]
             better = (cand >= 0) & ((best_cand < 0) | (cgap < best_gap))
             best_gap = jnp.where(better, cgap, best_gap)
             best_cand = jnp.where(better, cand, best_cand)
         lane_cand = gat(arr["last_of"], nd)
-        lane_gap = dis_rem + gat(st.dis, lane_cand) - gat(veh_len, lane_cand)
+        la = gat(fpack, lane_cand)
+        lane_gap = dis_rem + la[:, 0] - la[:, 1]
         cand = jnp.where(is_ll, best_cand, lane_cand)
         cgap = jnp.where(is_ll, best_gap, lane_gap)
         hit = ~done & (cand >= 0)
@@ -298,23 +321,40 @@ def admit_waiting(net, cfg: StepConfig, st: SimState, arr_prev):
     L = cfg.num_lanes
     waiting = st.active & ~st.running
     lane = st.drv  # waiting vehicles hold their first lane in drv
-    # FIFO head per lane = min uid among waiting
+    # FIFO head per lane = min uid among waiting. Availability and tail data
+    # are computed on the LANE domain (L << V) and read back with a single
+    # packed per-vehicle row gather.
+    V = st.uid.shape[0]
     big = jnp.int32(INT_MAX)
     seq = jnp.where(waiting, st.uid, big)
+    lane_safe = jnp.where(waiting, lane, L)
     min_seq = jnp.full(L + 1, big, jnp.int32).at[
-        jnp.where(waiting, lane, L)].min(seq, mode="drop")[:L]
+        lane_safe].min(seq, mode="drop")[:L]
     is_head = waiting & (st.uid == gat(min_seq, lane))
+    head_slot = jnp.full(L + 1, V, jnp.int32).at[
+        jnp.where(is_head, lane, L)].min(
+        jnp.arange(V, dtype=jnp.int32), mode="drop")[:L]
+    head_slot = jnp.where(head_slot < V, head_slot, -1)
+    head_mingap = gat(st.params[:, P_MINGAP], head_slot)   # (L,) tiny
 
-    tail = gat(arr_prev["last_of"], lane)
-    has_tail = tail >= 0
-    tail_dis = gat(st.dis, tail)
-    tail_len = gat(st.params[:, P_LEN], tail)
-    available = ~has_tail | (tail_dis > tail_len + st.params[:, P_MINGAP])
-    admit = is_head & available
+    tail_l = arr_prev["last_of"][:L]                       # (L,)
+    tla = gat(jnp.stack([st.dis, st.params[:, P_LEN]], axis=-1), tail_l)
+    has_tail_l = tail_l >= 0
+    avail_l = ~has_tail_l | (tla[:, 0] > tla[:, 1] + head_mingap)
+    lane_pack = jnp.stack([
+        jnp.where(avail_l, 1.0, 0.0).astype(st.dis.dtype),
+        jnp.where(has_tail_l, 1.0, 0.0).astype(st.dis.dtype),
+        tail_l.astype(st.dis.dtype),
+        (tla[:, 0] - tla[:, 1]).astype(st.dis.dtype)], axis=-1)  # (L,4)
+
+    lp = gat(lane_pack, lane)                              # (V,4) one gather
+    admit = is_head & (lp[:, 0] > 0)
+    has_tail = lp[:, 1] > 0
+    tail = lp[:, 2].astype(jnp.int32)
 
     leader = jnp.where(admit & has_tail, tail, st.leader)
     # updateLeaderAndGap(tail): gap = tail.dis - tail.len - 0 (vehicle.cpp:158-160)
-    gap = jnp.where(admit & has_tail, tail_dis - tail_len - st.dis, st.gap)
+    gap = jnp.where(admit & has_tail, lp[:, 3] - st.dis, st.gap)
     running = st.running | admit
     list_seq = jnp.where(admit, st.seq_counter, st.list_seq)
 
@@ -323,7 +363,8 @@ def admit_waiting(net, cfg: StepConfig, st: SimState, arr_prev):
                            seq_counter=st.seq_counter + 1)
     # tail == null -> full scan (engine.cpp:512 -> vehicle.cpp:161-196)
     need_scan = admit & ~has_tail
-    arr_now = arrangement(net, cfg, st.running, st.drv, st.dis, st.list_seq)
+    arr_now = arrangement(net, cfg, st.running, st.drv, st.dis,
+                          st.list_seq, st.params[:, P_LEN])
     sl, sg = leader_scan(net, cfg, st, arr_now, need_scan)
     st = st.replace_fields(
         leader=jnp.where(need_scan, sl, st.leader),
@@ -343,74 +384,78 @@ def notify_cross(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail):
     """Engine::threadNotifyCross (engine.cpp:317-372). For each cross side,
     the notifier is the vehicle with the largest front position on the
     lanelink axis whose tail has not cleared the cross (see derivation in
-    docs/design.md)."""
+    docs/design.md). All table reads are static-index or contiguous-row
+    gathers (cross_ll / cross_end_lane / cross_start_lane are compile-time
+    constants), which the TPU executes at vector rate."""
     L = cfg.num_lanes
     C = net["cross_ll"].shape[0]
     if C == 0:
         z = jnp.zeros((0, 2))
         return jnp.full((0, 2), -1, jnp.int32), z.astype(st.dis.dtype)
-    ll = net["cross_ll"]                       # (C,2) lanelink idx
+    ll = net["cross_ll"]                        # (C,2) static lanelink idx
     d = net["cross_dist"].astype(st.dis.dtype)  # (C,2)
     l_drv = L + ll
-    ll_len = gat(net["drv_len"], l_drv.reshape(-1)).reshape(C, 2).astype(st.dis.dtype)
+    ll_len = net["drv_len"][l_drv].astype(st.dis.dtype)   # static gather
     veh_len = st.params[:, P_LEN]
 
-    # candidate stack: [endlane-last, k_link on-link vehicles..., startlane-head]
     cands = []
     eligs = []
+    fpack = jnp.stack([st.dis, veh_len, st.prev_drv.astype(st.dis.dtype)],
+                      axis=-1)
     # end-lane rear vehicle still clearing the link (engine.cpp:330-341)
-    e_lane = gat(net["ll_end"], ll.reshape(-1)).reshape(C, 2)
-    ev = gat(arr["last_of"], e_lane.reshape(-1)).reshape(C, 2)
-    ev_ok = (ev >= 0) & (gat(st.prev_drv, ev.reshape(-1)).reshape(C, 2) == l_drv)
-    p_e = ll_len + gat(st.dis, ev.reshape(-1)).reshape(C, 2)
-    t_e = p_e - gat(veh_len, ev.reshape(-1)).reshape(C, 2)
+    ev = arr["last_of"][net["cross_end_lane"]]            # (C,2)
+    ea = gat(fpack, ev.reshape(-1)).reshape(C, 2, 3)
+    ev_ok = (ev >= 0) & (ea[:, :, 2].astype(jnp.int32) == l_drv)
+    p_e = ll_len + ea[:, :, 0]
+    t_e = p_e - ea[:, :, 1]
     cands.append((ev, p_e))
     eligs.append(ev_ok & (t_e < d))
-    # vehicles on the link (engine.cpp:343-359)
-    lv = gat(arr["link_veh"], ll.reshape(-1)).reshape(C, 2, cfg.k_link)
+    # vehicles on the link (engine.cpp:343-359): contiguous rows of the
+    # per-link tables, static row indices
+    lv = arr["link_veh"][ll]                    # (C,2,K)
+    pv = arr["link_dis"][ll]
+    tv = pv - arr["link_len"][ll]
     for k in range(cfg.k_link):
-        v = lv[:, :, k]
-        pv = gat(st.dis, v.reshape(-1)).reshape(C, 2)
-        tv = pv - gat(veh_len, v.reshape(-1)).reshape(C, 2)
-        cands.append((v, pv))
-        eligs.append((v >= 0) & (tv <= d))
+        cands.append((lv[:, :, k], pv[:, :, k]))
+        eligs.append((lv[:, :, k] >= 0) & (tv[:, :, k] <= d))
     # start-lane head approaching an available link (engine.cpp:361-369)
-    s_lane = gat(net["ll_start"], ll.reshape(-1)).reshape(C, 2)
-    sv = gat(arr["first_of"], s_lane.reshape(-1)).reshape(C, 2)
+    sv = arr["first_of"][net["cross_start_lane"]]
+    spk = jnp.stack([st.dis, veh_next.astype(st.dis.dtype)], axis=-1)
+    sa = gat(spk, sv.reshape(-1)).reshape(C, 2, 2)
     sv_ok = ((sv >= 0)
-             & (gat(veh_next, sv.reshape(-1)).reshape(C, 2) == l_drv)
-             & gat(ll_avail, ll.reshape(-1)).reshape(C, 2))
-    p_s = -(gat(net["drv_len"], s_lane.reshape(-1)).reshape(C, 2).astype(st.dis.dtype)
-            - gat(st.dis, sv.reshape(-1)).reshape(C, 2))
+             & (sa[:, :, 1].astype(jnp.int32) == l_drv)
+             & ll_avail[ll])
+    p_s = -(net["drv_len"][net["cross_start_lane"]].astype(st.dis.dtype)
+            - sa[:, :, 0])
     cands.append((sv, p_s))
     eligs.append(sv_ok)
 
     NEG = jnp.asarray(-1e30, st.dis.dtype)
     best_v = jnp.full((C, 2), -1, jnp.int32)
     best_p = jnp.full((C, 2), NEG, st.dis.dtype)
-    for (v, pv), el in zip(cands, eligs):
-        better = el & (pv > best_p)
+    for (v, pv_), el in zip(cands, eligs):
+        better = el & (pv_ > best_p)
         best_v = jnp.where(better, v, best_v)
-        best_p = jnp.where(better, pv, best_p)
+        best_p = jnp.where(better, pv_, best_p)
     notify_dist = d - best_p
     return best_v, notify_dist
 
 
 def blocker_cycles(cfg: StepConfig, blocker):
-    """Floyd cycle detection along the committed blocker chain
-    (Cross::canPass deadlock check, roadnet.cpp:662-674), bounded unroll."""
+    """Deadlock detection along the committed blocker chain (Cross::canPass,
+    roadnet.cpp:662-674). The reference runs Floyd's cycle finder from each
+    foe; since the blocker graph is functional (<=1 outgoing edge), a walk
+    from v either reaches -1 within V steps or is stuck on a cycle — so
+    "cycle reachable from v" == "still alive after >=V steps". Computed for
+    ALL slots at once by log2(V) pointer-doubling squarings (each one gather)
+    — exact for any chain length, unlike a bounded Floyd unroll."""
     V = blocker.shape[0]
-    start = jnp.arange(V, dtype=jnp.int32)
-    slow = start
-    fast = start
-    cyc = jnp.zeros(V, bool)
-    for _ in range(cfg.k_chase):
-        bf = gat(blocker, fast)
-        cont = (fast >= 0) & (bf >= 0) & ~cyc
-        slow = jnp.where(cont, gat(blocker, slow), slow)
-        fast = jnp.where(cont, gat(blocker, bf), fast)
-        cyc = cyc | (cont & (slow == fast))
-    return cyc
+    f = blocker  # f[v] = node after 1 step (-1 absorbing via masked gather)
+    steps = 1
+    while steps < V:
+        f = jnp.where(f >= 0, gat(f, f), -1)
+        steps *= 2
+    return f >= 0
 
 
 def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
@@ -429,8 +474,8 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     # --- car following (vehicle.cpp:212-238) ---
     leader = st.leader
     has_leader = leader >= 0
-    vL = gat(st.speed, leader)
     lp = gat(st.params, leader)
+    vL = gat(st.speed, leader)
     v_hard = no_collision_speed(vL, lp[:, P_MAXNEGACC], speed,
                                 p[:, P_MAXNEGACC], st.gap, dt, f.type(0))
     assume_decel = jnp.where(speed > vL, speed - vL, f.type(0))
@@ -456,9 +501,10 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     # red-light / blocked-entry branch
     end_lane = gat(net["ll_end"], veh_next - L)
     tail2 = gat(arr["last_of"], end_lane)
+    t2a = gat(jnp.stack([st.dis, veh_len, st.speed], axis=-1), tail2)
     can_enter = ((tail2 < 0)
-                 | (gat(st.dis, tail2) > gat(veh_len, tail2) + veh_len)
-                 | (gat(st.speed, tail2) >= 2))
+                 | (t2a[:, 0] > t2a[:, 1] + veh_len)
+                 | (t2a[:, 2] >= 2))
     next_avail = gat(ll_avail, veh_next - L)
     red = next_is_ll & (~next_avail | ~can_enter)
     min_brake = 0.5 * speed * speed / p[:, P_MAXNEGACC]
@@ -470,52 +516,75 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     next_turn = gat(net["ll_is_turn"], veh_next - L) & next_is_ll
     v_isr = jnp.where(next_turn, jnp.minimum(v_isr, p[:, P_TURNSPEED]), v_isr)
 
-    # cross loop over the relevant lanelink's crosses (vehicle.cpp:357-374)
+    # cross loop over the relevant lanelink's crosses (vehicle.cpp:357-374).
+    # TPU layout: everything that depends only on (cross, side) — i.e. on the
+    # NOTIFIER of each side — is computed once at C2 = 2*num_crosses
+    # granularity, packed into per-link tables with STATIC indices, then read
+    # per vehicle with ONE contiguous row gather per field. Only the
+    # self-dependent terms (d1, own canYield/reachSteps) are (V, KC) work.
     the_ll = jnp.where(next_is_ll, veh_next - L,
                        jnp.where(is_ll, st.drv - L, -1))
     has_ll = the_ll >= 0
     dls = jnp.where(is_lane, -lane_left, st.dis)
     KC = cfg.k_cross
-    cr = gat(net["ll_cross_idx"], the_ll)        # (V,KC) cross ids
-    side = gat(net["ll_cross_side"], the_ll)     # (V,KC)
-    cvalid = (cr >= 0) & has_ll[:, None]
-    C2 = net["cross_dist"].reshape(-1)
-    C2i = net["cross_ll"].reshape(-1)
-    d_onl = jnp.take(C2, jnp.clip(cr * 2 + side, 0, C2.shape[0] - 1)).astype(f)
-    oside = 1 - side
-    foe = gat(notify_veh.reshape(-1), cr * 2 + oside) if notify_veh.size else jnp.full_like(cr, -1)
-    d2 = (gat(notify_dist.reshape(-1), cr * 2 + oside).astype(f)
-          if notify_dist.size else jnp.zeros_like(d_onl))
-    my_ll_g = jnp.take(C2i, jnp.clip(cr * 2 + side, 0, max(C2i.shape[0] - 1, 0))) \
-        if C2i.size else jnp.zeros_like(cr)
-    foe_ll = jnp.take(C2i, jnp.clip(cr * 2 + oside, 0, max(C2i.shape[0] - 1, 0))) \
-        if C2i.size else jnp.zeros_like(cr)
-    t1 = gat(net["ll_type"], my_ll_g)
-    t2 = gat(net["ll_type"], foe_ll)
-    d1 = d_onl - dls[:, None]
+    C = net["cross_dist"].shape[0]
 
-    fp = gat(st.params, foe.reshape(-1)).reshape(foe.shape + (12,))
-    fspeed = gat(st.speed, foe.reshape(-1)).reshape(foe.shape)
-    has_foe = foe >= 0
+    # ---- per-side notifier bundle (flat j = cross*2 + side) ----
+    nv = notify_veh.reshape(-1) if notify_veh.size else jnp.zeros(1, jnp.int32) - 1
+    ndist = (notify_dist.reshape(-1).astype(f) if notify_dist.size
+             else jnp.zeros(1, f))
+    npar = gat(st.params, nv)                              # (C2,12)
+    nint = gat(jnp.stack([st.enter_ll_time, st.priority], axis=-1), nv)
+    nspeed = gat(st.speed, nv)
+    n_exists = nv >= 0
+    n_yield = can_yield(nspeed, npar[:, P_MAXNEGACC], npar[:, P_YIELD],
+                        npar[:, P_LEN], ndist)
+    n_is_turn = (net["cross_is_turn"].reshape(-1) if C else
+                 jnp.zeros(1, bool))
+    n_target = jnp.where(n_is_turn, npar[:, P_TURNSPEED], npar[:, P_MAXSPEED])
+    n_reach = reach_steps(nspeed, ndist, n_target, npar[:, P_USUALPOSACC], dt)
+    n_cleared = ndist + npar[:, P_LEN] < 0
+    n_ent = nint[:, 0]
+    n_pri = nint[:, 1]
+    cyc = blocker_cycles(cfg, st.blocker)
+    n_cyc = gat(cyc, nv)
+    n_dpos = ndist > 0
+
+    # ---- per-link packed foe tables (static-index gathers, tiny) ----
+    ff = net["lnk_cross_foeflat"]                          # (LL,KC) static
+    lt = dict(
+        foe_exists=n_exists[ff], foe_yield=n_yield[ff],
+        foe_reach=n_reach[ff], foe_cleared=n_cleared[ff],
+        foe_ent=n_ent[ff], foe_pri=n_pri[ff], foe_cyc=n_cyc[ff],
+        foe_dpos=n_dpos[ff], foe_dist=ndist[ff], foe_idx=nv[ff])
+
+    # ---- per-vehicle row gathers ----
+    safe_ll = jnp.clip(the_ll, 0, max(ff.shape[0] - 1, 0))
+    cvalid = net["lnk_cross_valid"][safe_ll] & has_ll[:, None]   # (V,KC)
+    d_onl = net["lnk_cross_d"][safe_ll].astype(f)
+    t2 = net["lnk_cross_foetype"][safe_ll]
+    t1 = gat(net["ll_type"], the_ll)[:, None]
+    has_foe = lt["foe_exists"][safe_ll]
+    foe_yield = lt["foe_yield"][safe_ll]
+    fr = lt["foe_reach"][safe_ll]
+    foe_cleared = lt["foe_cleared"][safe_ll]
+    foe_ent = lt["foe_ent"][safe_ll]
+    foe_pri = lt["foe_pri"][safe_ll]
+    foe_cyc = lt["foe_cyc"][safe_ll]
+    foe_dpos = lt["foe_dpos"][safe_ll]
+    d2 = lt["foe_dist"][safe_ll]
+    foe = lt["foe_idx"][safe_ll]
+
+    # ---- self-dependent terms ----
+    d1 = d_onl - dls[:, None]
     self_yield = can_yield(speed[:, None], p[:, P_MAXNEGACC][:, None],
                            p[:, P_YIELD][:, None], veh_len[:, None], d1)
-    foe_yield = can_yield(fspeed, fp[..., P_MAXNEGACC], fp[..., P_YIELD],
-                          fp[..., P_LEN], d2)
-
-    # reach steps (vehicle.cpp:270-273): target speed by link turn-ness
-    self_target = jnp.where(gat(net["ll_is_turn"], my_ll_g),
-                            p[:, P_TURNSPEED][:, None], max_speed[:, None])
-    foe_target = jnp.where(gat(net["ll_is_turn"], foe_ll),
-                           fp[..., P_TURNSPEED], fp[..., P_MAXSPEED])
+    self_target = jnp.where(gat(net["ll_is_turn"], the_ll),
+                            p[:, P_TURNSPEED], max_speed)[:, None]
     sr = reach_steps(speed[:, None], d1, self_target,
                      p[:, P_USUALPOSACC][:, None], dt)
-    fr = reach_steps(fspeed, d2, foe_target, fp[..., P_USUALPOSACC], dt)
-
     my_ent = st.enter_ll_time[:, None]
-    foe_ent = gat(st.enter_ll_time, foe.reshape(-1)).reshape(foe.shape)
     my_pri = st.priority[:, None]
-    foe_pri = gat(st.priority, foe.reshape(-1)).reshape(foe.shape)
-    foe_cleared = d2 + fp[..., P_LEN] < 0
 
     # Cross::canPass decision tree (roadnet.cpp:604-660)
     same_rank_y = jnp.where(
@@ -526,16 +595,14 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
                           jnp.where(my_pri > foe_pri, -1, 1),
                           jnp.where(d1 < d2, -1, 1)),
                 jnp.where(my_ent < foe_ent, -1, 1))))
-    t_eq = jnp.where(d2 > 0, same_rank_y, jnp.where(foe_cleared, -1, 1))
-    t_lt_pre = jnp.where(d2 > 0,
+    t_eq = jnp.where(foe_dpos, same_rank_y, jnp.where(foe_cleared, -1, 1))
+    t_lt_pre = jnp.where(foe_dpos,
                          jnp.where(fr > sr, -1, 0),
                          jnp.where(foe_cleared, -1, 0))
     t_lt = jnp.where(t_lt_pre == 0, 1, t_lt_pre)
     y0 = jnp.where(t1 > t2, -1, jnp.where(t1 < t2, t_lt, t_eq))
     y = jnp.where(~foe_yield, 1, y0)
     # deadlock: blocker-chain cycle from foe flips a yield to a pass
-    cyc = blocker_cycles(cfg, st.blocker)
-    foe_cyc = gat(cyc, foe.reshape(-1)).reshape(foe.shape)
     y = jnp.where((y == 1) & foe_cyc, -1, y)
     passes = ~has_foe | ~self_yield | (y == -1)
 
@@ -670,10 +737,12 @@ def commit(net, cfg: StepConfig, st: SimState, buf, removed):
 
 def update_leader_and_gap(net, cfg: StepConfig, st: SimState):
     """Engine::threadUpdateLeaderAndGap (engine.cpp:429-442)."""
-    arr = arrangement(net, cfg, st.running, st.drv, st.dis, st.list_seq)
+    arr = arrangement(net, cfg, st.running, st.drv, st.dis,
+                      st.list_seq, st.params[:, P_LEN])
     in_leader = arr["leader"]
     has_in = in_leader >= 0
-    gap_in = gat(st.dis, in_leader) - gat(st.params[:, P_LEN], in_leader) - st.dis
+    ila = gat(jnp.stack([st.dis, st.params[:, P_LEN]], axis=-1), in_leader)
+    gap_in = ila[:, 0] - ila[:, 1] - st.dis
     need_scan = st.running & ~has_in
     sl, sg = leader_scan(net, cfg, st, arr, need_scan)
     leader = jnp.where(st.running, jnp.where(has_in, in_leader, sl), -1)
