@@ -41,6 +41,8 @@ class CompiledNet:
     drv_max_speed: np.ndarray = None    # (D,) f64  (lanelinks: 10000, roadnet.h:456)
     lane_road: np.ndarray = None        # (L,) i32
     lane_local: np.ndarray = None       # (L,) i32  index within road
+    lane_width: np.ndarray = None       # (L,) f64
+    road_num_lanes: np.ndarray = None   # (R,) i32
     lane_out: np.ndarray = None         # (L, KO) i32 outgoing lanelink GLOBAL DRIVABLE idx, -1 pad
     ll_start: np.ndarray = None         # (LL,) i32 lane idx
     ll_end: np.ndarray = None           # (LL,) i32 lane idx
@@ -141,6 +143,8 @@ def compile_arrays(net: HostRoadNet, flows: List[FlowSpec], routes,
 
     out.lane_road = np.array([l.road.index for l in net.lanes], np.int32)
     out.lane_local = np.array([l.lane_index for l in net.lanes], np.int32)
+    out.lane_width = np.array([l.width for l in net.lanes], np.float64)
+    out.road_num_lanes = np.array([len(r.lanes) for r in net.roads], np.int32)
 
     ko = max((len(l.lane_links) for l in net.lanes), default=1) or 1
     lane_out = np.full((L, ko), -1, np.int32)

@@ -30,6 +30,10 @@ INT_MAX = 2**31 - 1
                       "route", "route_pos", "enter_time", "enter_ll_time",
                       "priority", "leader", "gap", "blocker", "custom_speed",
                       "has_custom", "list_seq", "uid", "params",
+                      "partner", "is_shadow", "offset", "lc_changing",
+                      "lc_finished", "lc_last_t", "lc_target", "lc_has_signal",
+                      "lc_dir", "lc_recv", "lc_tleader", "lc_tfollower",
+                      "lc_lgap", "lc_fgap", "lc_last_dir",
                       "phase", "phase_remain",
                       "last_of_drv"],
          meta_fields=[])
@@ -63,6 +67,23 @@ class SimState:
     list_seq: Any             # i32 order-within-drivable ticket
     uid: Any                  # i32 global spawn uid (-1 free slot)
     params: Any               # (V, 12) f vehicle params (see net.P_*)
+
+    # lane change (reference: vehicle.h LaneChangeInfo + lanechange.h)
+    partner: Any              # i32 slot of shadow/real twin (-1)
+    is_shadow: Any            # bool (partnerType == 2)
+    offset: Any               # f lateral offset of the changing real vehicle
+    lc_changing: Any          # bool LaneChange::changing (real side)
+    lc_finished: Any          # bool LaneChange::finished (skip finish stats)
+    lc_last_t: Any            # f LaneChange::lastChangeTime
+    lc_target: Any            # i32 signalSend->target lane (-1 none)
+    lc_has_signal: Any        # bool signalSend allocated this step
+    lc_dir: Any               # i32 signalSend->direction (-1/0/1)
+    lc_recv: Any              # i32 signalRecv source vehicle (-1)
+    lc_tleader: Any           # i32 targetLeader slot (-1)
+    lc_tfollower: Any         # i32 targetFollower slot (-1)
+    lc_lgap: Any              # f leaderGap
+    lc_fgap: Any              # f followerGap
+    lc_last_dir: Any          # i32 lastDir (replay logging)
 
     # lights (I,)
     phase: Any                # i32
@@ -133,6 +154,15 @@ def init_state(cfg: StepConfig, num_inters: int, phase_time0: np.ndarray,
         custom_speed=zf(V), has_custom=jnp.zeros(V, bool),
         list_seq=zi(V), uid=jnp.full(V, -1, jnp.int32),
         params=zf(V, 12),
+        partner=jnp.full(V, -1, jnp.int32), is_shadow=jnp.zeros(V, bool),
+        offset=zf(V), lc_changing=jnp.zeros(V, bool),
+        lc_finished=jnp.zeros(V, bool), lc_last_t=zf(V),
+        lc_target=jnp.full(V, -1, jnp.int32),
+        lc_has_signal=jnp.zeros(V, bool), lc_dir=zi(V),
+        lc_recv=jnp.full(V, -1, jnp.int32),
+        lc_tleader=jnp.full(V, -1, jnp.int32),
+        lc_tfollower=jnp.full(V, -1, jnp.int32),
+        lc_lgap=zf(V), lc_fgap=zf(V), lc_last_dir=zi(V),
         phase=zi(num_inters), phase_remain=remain,
         last_of_drv=jnp.full(cfg.num_drivables, -1, jnp.int32),
     )

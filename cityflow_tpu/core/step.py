@@ -309,6 +309,21 @@ def spawn_vehicles(net, cfg: StepConfig, st: SimState, spawn_tbl):
         list_seq=scat(st.list_seq, new["list_seq"]),
         uid=scat(st.uid, uid),
         params=st.params.at[tgt].set(flow_params, mode="drop"),
+        partner=scat(st.partner, jnp.int32(-1)),
+        is_shadow=scat(st.is_shadow, False),
+        offset=scat(st.offset, f.type(0)),
+        lc_changing=scat(st.lc_changing, False),
+        lc_finished=scat(st.lc_finished, False),
+        lc_last_t=scat(st.lc_last_t, f.type(0)),
+        lc_target=scat(st.lc_target, jnp.int32(-1)),
+        lc_has_signal=scat(st.lc_has_signal, False),
+        lc_dir=scat(st.lc_dir, jnp.int32(0)),
+        lc_recv=scat(st.lc_recv, jnp.int32(-1)),
+        lc_tleader=scat(st.lc_tleader, jnp.int32(-1)),
+        lc_tfollower=scat(st.lc_tfollower, jnp.int32(-1)),
+        lc_lgap=scat(st.lc_lgap, f.type(0)),
+        lc_fgap=scat(st.lc_fgap, f.type(0)),
+        lc_last_dir=scat(st.lc_last_dir, jnp.int32(0)),
         spawn_cursor=st.spawn_cursor + jnp.sum(want).astype(jnp.int32),
         overflow=st.overflow | jnp.where(ov, OV_SLOTS, 0).astype(jnp.int32),
     )
@@ -628,13 +643,23 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     v = jnp.minimum(v, gat(net["drv_max_speed"], st.drv).astype(f))
     v = jnp.minimum(v, v_cf)
     v = jnp.where(isr_related, jnp.minimum(v, v_isr_final), v)
-    # laneChange->yieldSpeed == 100 with no received signal (lanechange.cpp)
+    if cfg.lane_change:
+        # laneChange->yieldSpeed (lanechange.cpp:186-206); 100 == no-op
+        from cityflow_tpu.core import lanechange as lc_mod
+        v = jnp.minimum(v, lc_mod.yield_speed(net, cfg, st))
+    # (without laneChange no signal is ever received -> yieldSpeed == 100)
     # invalid-lane stop (vehicle.cpp:325-328)
     invalid = (veh_next < 0) & ~on_last_road(net, cfg, st.route, st.route_pos)
     v_inv = no_collision_speed(f.type(0), f.type(1), speed, p[:, P_MAXNEGACC],
                                lane_left, dt, p[:, P_MINGAP])
     v = jnp.where(invalid, jnp.minimum(v, v_inv), v)
     v = jnp.maximum(v, speed - p[:, P_MAXNEGACC] * dt)
+
+    if cfg.lane_change:
+        # real+shadow move in lockstep: min of both next speeds
+        # (engine.cpp:195-205); symmetric, so computed for both members
+        paired = st.partner >= 0
+        v = jnp.where(paired & m, jnp.minimum(v, gat(v, st.partner)), v)
 
     # --- kinematics (engine.cpp:212-221) ---
     neg = v < 0
@@ -662,6 +687,27 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
                speed=jnp.where(m, new_speed, st.speed),
                drv=cur, route_pos=pos, changed=changed,
                end=end, blocker=new_blocker)
+
+    if cfg.lane_change:
+        # shadow about to leave its lane -> abort (engine.cpp:223-226);
+        # abort wins over a same-step finish (reference order is pointer-
+        # dependent; we pick the safe deterministic resolution)
+        abort = m & st.is_shadow & changed & (st.partner >= 0)
+        # changing real: integrate lateral offset (engine.cpp:228-243)
+        chg = m & st.lc_changing & ~st.is_shadow & (st.partner >= 0)
+        dirn = st.lc_dir.astype(f)
+        new_off = jnp.abs(st.offset + jnp.maximum(
+            f.type(0.2) * new_speed, f.type(1)) * dt * dirn)
+        cur_w = gat(net["lane_width"], st.drv).astype(f)
+        tgt_w = gat(net["lane_width"], st.lc_target).astype(f)
+        max_off = (tgt_w + cur_w) / 2
+        new_off = jnp.minimum(new_off, max_off)
+        finish = chg & (new_off >= max_off) & ~gat(abort, st.partner)
+        buf["offset"] = jnp.where(chg, new_off * dirn, st.offset)
+        buf["finish"] = finish
+        buf["abort"] = abort
+        # abort-ended shadows are removed this step (vehicle.cpp:412-416)
+        buf["end"] = buf["end"] | abort | finish
     return buf, ov_hop
 
 
@@ -674,20 +720,26 @@ def update_location(net, cfg: StepConfig, st: SimState, arr, buf):
     removed = m & buf["end"]
 
     # finish stats, summed in (drivable, list-rank) order for exact parity
-    # with the single-thread reference accumulation (engine.cpp:296-303)
+    # with the single-thread reference accumulation (engine.cpp:296-303).
+    # Vehicles whose lane change finished are identity-swap removals and do
+    # not count (engine.cpp:299-303 hasFinished guard).
+    counted = removed
+    if cfg.lane_change:
+        lc_fin = st.lc_finished | buf.get("finish", jnp.zeros_like(m))
+        counted = removed & ~lc_fin
     now = st.step.astype(f) * f.type(cfg.interval)
     tt = now - st.enter_time
     if cfg.exact:
-        rm_sorted = removed[arr["sorted_idx"]]
+        rm_sorted = counted[arr["sorted_idx"]]
         pos = jnp.nonzero(rm_sorted, size=cfg.max_remove, fill_value=-1)[0]
         vals = jnp.where(pos >= 0, tt[arr["sorted_idx"]][jnp.clip(pos, 0)], f.type(0))
         total = jax.lax.fori_loop(
             0, cfg.max_remove, lambda i, acc: acc + vals[i], f.type(0))
-        ov_rm = jnp.sum(removed) > cfg.max_remove
+        ov_rm = jnp.sum(counted) > cfg.max_remove
     else:
-        total = jnp.sum(jnp.where(removed, tt, f.type(0)))
+        total = jnp.sum(jnp.where(counted, tt, f.type(0)))
         ov_rm = jnp.array(False)
-    n_rm = jnp.sum(removed).astype(jnp.int32)
+    n_rm = jnp.sum(counted).astype(jnp.int32)
 
     # transfers: assign new list order by buffered-distance desc (engine.cpp:480)
     trans = m & buf["changed"] & ~removed
@@ -732,6 +784,45 @@ def commit(net, cfg: StepConfig, st: SimState, buf, removed):
     # clear blockers pointing at vehicles removed this step (engine.cpp:419-421)
     bl_removed = gat(removed, st.blocker) & (st.blocker >= 0)
     st = st.replace_fields(blocker=jnp.where(bl_removed, -1, st.blocker))
+
+    if cfg.lane_change:
+        st = lc_commit(cfg, st, buf, removed)
+    return st
+
+
+def lc_commit(cfg: StepConfig, st: SimState, buf, removed):
+    """Lane-change epilogue of Vehicle::update / finishChanging /
+    abortChanging (lanechange.cpp:115-148, vehicle.cpp:378-381,412-416)."""
+    V = cfg.max_vehicles
+    f = st.dis.dtype
+    finish = buf.get("finish", jnp.zeros(V, bool))
+    # promote the shadow of every finishing real: it takes over the identity
+    shadow = jnp.where(finish, st.partner, V)
+    real_uid = jnp.where(finish, st.uid, -1)
+    uid = st.uid.at[shadow].set(real_uid, mode="drop")
+    promote = jnp.zeros(V, bool).at[shadow].set(finish, mode="drop")
+    # unlink pairs whose partner was removed this step (finish, abort, or
+    # route end); a changing real whose shadow died reverts (abortChanging)
+    partner_dead = (st.partner >= 0) & gat(removed, st.partner)
+    st = st.replace_fields(
+        uid=uid,
+        is_shadow=jnp.where(promote | partner_dead, False, st.is_shadow),
+        partner=jnp.where(promote | partner_dead | removed, -1, st.partner),
+        offset=buf["offset"] if "offset" in buf else st.offset,
+        lc_changing=jnp.where(partner_dead | removed, False, st.lc_changing),
+        lc_finished=st.lc_finished | finish,
+    )
+    st = st.replace_fields(
+        offset=jnp.where(partner_dead | removed | promote, f.type(0),
+                         st.offset))
+    # clearSignal (lanechange.cpp:129-137): lastDir = direction; signals are
+    # per-step (re-made next step); changing vehicles keep target via state
+    st = st.replace_fields(
+        lc_last_dir=jnp.where(st.running, st.lc_dir, st.lc_last_dir),
+        lc_recv=jnp.full(V, -1, jnp.int32),
+        lc_has_signal=jnp.where(st.lc_changing, st.lc_has_signal,
+                                jnp.zeros(V, bool)),
+        lc_target=jnp.where(st.lc_changing, st.lc_target, -1))
     return st
 
 
@@ -780,6 +871,14 @@ def step(net: Dict[str, Any], cfg: StepConfig, st: SimState, spawn_tbl):
     # handleWaiting (uses end-of-previous-step arrangement for lane tails)
     arr_prev = dict(last_of=st.last_of_drv)
     st, arr = admit_waiting(net, cfg, st, arr_prev)
+
+    if cfg.lane_change:
+        # initSegments + planLaneChange + scheduleLaneChange
+        # (engine.cpp:571-575), then a full leader/gap recompute because
+        # shadow insertion changed the lists (engine.cpp:574)
+        from cityflow_tpu.core import lanechange as lc_mod
+        st = lc_mod.plan_lane_change(net, cfg, st, arr)
+        st, arr = update_leader_and_gap(net, cfg, st)
 
     # notifyCross
     ll_avail = lanelink_available(net, cfg, st)

@@ -56,7 +56,8 @@ def _net_device_arrays(net: CompiledNet, dtype=None) -> Dict[str, jnp.ndarray]:
     """Static tables to device. Float tables are cast to the working dtype —
     stray f64 in the fast path would silently run in (slow, emulated) f64 on
     TPU."""
-    keys = ["drv_len", "drv_max_speed", "lane_road", "lane_local", "lane_out",
+    keys = ["drv_len", "drv_max_speed", "lane_road", "lane_local",
+            "lane_width", "road_num_lanes", "lane_out",
             "ll_start", "ll_end", "ll_is_turn", "ll_type", "ll_inter",
             "ll_rl_local", "phase_offset", "n_phases", "phase_time",
             "phase_rl_avail", "inter_virtual", "cross_dist", "cross_ll",
@@ -195,13 +196,16 @@ class Engine:
             st = self.state
             names = ["active", "running", "dis", "speed", "drv", "prev_drv",
                      "route", "route_pos", "enter_time", "priority", "leader",
-                     "gap", "list_seq", "uid"]
+                     "gap", "list_seq", "uid", "is_shadow", "partner",
+                     "lc_last_dir", "offset"]
             vals = jax.device_get([getattr(st, n) for n in names])
             self._cache = dict(zip(names, vals))
             self._fetched_step = key
         return self._cache
 
     def _veh_id(self, uid: int) -> str:
+        if uid & (1 << 30):  # shadow twin (engine.cpp:814: id + "_shadow")
+            return self._veh_id(uid & ~(1 << 30)) + "_shadow"
         if uid in self._pushed_ids:
             return self._pushed_ids[uid]
         t = self._spawn.arrays()
@@ -285,7 +289,8 @@ class Engine:
     def get_vehicles(self, include_waiting: bool = False) -> List[str]:
         """Pool order = std::map<int priority> ascending (engine.cpp:780-790)."""
         c = self._fetch()
-        mask = c["active"] if include_waiting else c["running"]
+        mask = (c["active"] if include_waiting else c["running"]) \
+            & ~c["is_shadow"]  # isReal filter (engine.cpp:785)
         slots = np.nonzero(mask)[0]
         slots = slots[np.argsort(c["priority"][slots], kind="stable")]
         return [self._veh_id(int(c["uid"][s])) for s in slots]
@@ -325,7 +330,7 @@ class Engine:
                 for s in self._pool_order(c)}
 
     def _pool_order(self, c):
-        slots = np.nonzero(c["running"])[0]
+        slots = np.nonzero(c["running"] & ~c["is_shadow"])[0]
         return slots[np.argsort(c["priority"][slots], kind="stable")]
 
     def get_leader(self, vid: str) -> str:
@@ -333,6 +338,10 @@ class Engine:
         slot = self._id_to_slot(vid)
         if slot is None:
             raise RuntimeError(f"Vehicle '{vid}' not found")
+        # a shadow's leader query answers through its real twin
+        # (engine.cpp:842-845)
+        if self.lane_change and c["is_shadow"][slot] and c["partner"][slot] >= 0:
+            slot = int(c["partner"][slot])
         l = c["leader"][slot]
         return self._veh_id(int(c["uid"][l])) if l >= 0 else ""
 
@@ -438,4 +447,15 @@ def _pad_state(st: SimState, old_v: int, new_v: int) -> SimState:
         custom_speed=grow(st.custom_speed, 0),
         has_custom=grow(st.has_custom, False),
         list_seq=grow(st.list_seq, 0), uid=grow(st.uid, -1),
-        params=grow(st.params, 0))
+        params=grow(st.params, 0),
+        partner=grow(st.partner, -1), is_shadow=grow(st.is_shadow, False),
+        offset=grow(st.offset, 0), lc_changing=grow(st.lc_changing, False),
+        lc_finished=grow(st.lc_finished, False),
+        lc_last_t=grow(st.lc_last_t, 0),
+        lc_target=grow(st.lc_target, -1),
+        lc_has_signal=grow(st.lc_has_signal, False),
+        lc_dir=grow(st.lc_dir, 0), lc_recv=grow(st.lc_recv, -1),
+        lc_tleader=grow(st.lc_tleader, -1),
+        lc_tfollower=grow(st.lc_tfollower, -1),
+        lc_lgap=grow(st.lc_lgap, 0), lc_fgap=grow(st.lc_fgap, 0),
+        lc_last_dir=grow(st.lc_last_dir, 0))
