@@ -58,11 +58,16 @@ def main():
         [t[k], np.full(pad, -1 if k == "step" else 0, t[k].dtype)]))
         for k in ("step", "flow", "priority", "first_drv", "route")}
 
+    # per-lanelink slot table sized by physical capacity (len/(minLen+minGap))
+    L = net.num_lanes
+    ll_len = net.drv_len[L:] if net.num_links else np.zeros(1)
+    k_link = int(min(16, np.ceil(ll_len.max() / 7.0) + 2)) if net.num_links else 4
     cfg = StepConfig(
         interval=interval, num_lanes=net.num_lanes,
         num_drivables=net.num_lanes + net.num_links,
         max_vehicles=args.max_vehicles,
         max_spawn_per_step=gen.max_per_step,
+        k_link=k_link,
         k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
         exact=False)

@@ -70,6 +70,8 @@ class CompiledNet:
     lnk_cross_selfflat: np.ndarray = None  # (LL, KC) i32 = cross*2 + side
     lnk_cross_foeflat: np.ndarray = None   # (LL, KC) i32 = cross*2 + (1-side)
     lnk_cross_foetype: np.ndarray = None   # (LL, KC) i32 foe lanelink RoadLinkType
+    lnk_cross_foe_pos: np.ndarray = None   # (LL, KC) i32 flat (link*KC+slot) of
+                                           # the foe side in link-major layout
     cross_end_lane: np.ndarray = None   # (C, 2) i32 end lane of each side's link
     cross_start_lane: np.ndarray = None # (C, 2) i32
     cross_type: np.ndarray = None       # (C, 2) i32 RoadLinkType per side
@@ -218,6 +220,23 @@ def compile_arrays(net: HostRoadNet, flows: List[FlowSpec], routes,
         if C else np.zeros_like(ll_cross_idx, np.float64)
     out.lnk_cross_selfflat = np.where(valid, safe_idx * 2 + ll_cross_side, 0)
     out.lnk_cross_foeflat = np.where(valid, safe_idx * 2 + (1 - ll_cross_side), 0)
+    # link-major position of each cross side and of its foe side
+    pos_of = {}
+    for l_idx in range(LL):
+        for kc in range(kc_pad := ll_cross_idx.shape[1]):
+            c = ll_cross_idx[l_idx, kc]
+            if c >= 0:
+                pos_of[(int(c), int(ll_cross_side[l_idx, kc]))] = \
+                    l_idx * kc_pad + kc
+    foe_pos = np.zeros_like(ll_cross_idx)
+    for l_idx in range(LL):
+        for kc in range(ll_cross_idx.shape[1]):
+            c = ll_cross_idx[l_idx, kc]
+            if c >= 0:
+                foe_pos[l_idx, kc] = pos_of[
+                    (int(c), 1 - int(ll_cross_side[l_idx, kc]))]
+    out.lnk_cross_foe_pos = foe_pos
+
     if C:
         ll_type_arr = out.ll_type
         out.cross_type = ll_type_arr[out.cross_ll]

@@ -45,7 +45,8 @@ def gat(a, i, fill=None):
 # arrangement: per-drivable ordered lists via one global sort
 # ---------------------------------------------------------------------------
 
-def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq, veh_len):
+def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq, veh_len,
+                fattrs=None, iattrs=None):
     """Reproduce the reference's per-drivable std::list order: vehicles sorted
     by distance DESC, ties by insertion order (Drivable::pushVehicle appends;
     pushBuffer pre-sorted by distance desc, engine.cpp:480-493).
@@ -95,12 +96,23 @@ def arrangement(net, cfg: StepConfig, running, drv, dis, list_seq, veh_len):
         flat].set(veh_len[s_idx], mode="drop")[:-1].reshape(max(LL, 1),
                                                             cfg.k_link)
 
+    out = dict(link_fattr=None, link_iattr=None)
+    if fattrs is not None:
+        out["link_fattr"] = jnp.zeros(
+            (nrows + 1, fattrs.shape[1]), dis.dtype).at[flat].set(
+            fattrs[s_idx], mode="drop")[:-1].reshape(
+            max(LL, 1), cfg.k_link, fattrs.shape[1])
+        out["link_iattr"] = jnp.zeros(
+            (nrows + 1, iattrs.shape[1]), jnp.int32).at[flat].set(
+            iattrs[s_idx], mode="drop")[:-1].reshape(
+            max(LL, 1), cfg.k_link, iattrs.shape[1])
+
     ov = jnp.any(on_link & (rank >= cfg.k_link))
     rank_of = jnp.zeros(V, jnp.int32).at[s_idx].set(rank)
     return dict(leader=leader, first_of=first_of, last_of=last_of,
                 link_veh=link_veh, link_dis=link_dis, link_len=link_len,
                 sorted_idx=s_idx, sorted_drv=s_drv,
-                rank=rank_of, overflow_link=ov)
+                rank=rank_of, overflow_link=ov, **out)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +209,26 @@ def can_yield(speed, max_neg, yield_dist, length, d):
 # leader scan across upcoming drivables (vehicle.cpp:157-196)
 # ---------------------------------------------------------------------------
 
+# float attr pack columns (build_attr_packs)
+A_DIS, A_LEN, A_SPEED, A_MAXNEG, A_YIELD, A_UPA, A_TURNSPD, A_MAXSPD, \
+    A_CYC, A_PREV = range(10)
+NUM_A = 10
+
+
+def build_attr_packs(cfg: StepConfig, st: SimState, cyc):
+    """Per-vehicle attribute bundles consumed by the conflict-cross phases.
+    Packing lets every downstream read move a whole bundle per index — on
+    TPU a dynamic gather pays per INDEX, not per byte."""
+    f = st.dis.dtype
+    p = st.params
+    fattrs = jnp.stack([
+        st.dis, p[:, P_LEN], st.speed, p[:, P_MAXNEGACC], p[:, P_YIELD],
+        p[:, P_USUALPOSACC], p[:, P_TURNSPEED], p[:, P_MAXSPEED],
+        cyc.astype(f), st.prev_drv.astype(f)], axis=-1)
+    iattrs = jnp.stack([st.enter_ll_time, st.priority], axis=-1)
+    return fattrs, iattrs
+
+
 def pack_attrs(st: SimState):
     """Hot per-vehicle attributes packed as rows: ONE contiguous row gather
     replaces several element gathers (TPU gathers pay per index, not per
@@ -224,29 +256,62 @@ def leader_scan(net, cfg: StepConfig, st: SimState, arr, mask):
     found = jnp.full_like(st.drv, -1)
     fgap = jnp.zeros_like(st.dis)
     done = ~mask
-    for _ in range(cfg.k_scan):
-        nd, pos = chain_step(net, cfg, st.route, pos, cur)
-        done = done | (nd < 0)
-        is_ll = nd >= L
-        # lanelink: scan ALL lanelinks leaving the same start lane (overlap
-        # rule, vehicle.cpp:170-180), min gap with strict <, first wins
-        start_lane = gat(net["ll_start"], nd - L)
-        fpack = jnp.stack([st.dis, veh_len], axis=-1)
-        best_cand = jnp.full_like(nd, -1)
-        best_gap = jnp.zeros_like(fgap)
+    fpack = jnp.stack([st.dis, veh_len], axis=-1)
+
+    cand_pack = None
+    if not cfg.exact:
+        # fast mode: precompute per-DRIVABLE (candidate, dis-len) once.
+        # For a lanelink the reference scans all links sharing its start
+        # lane with strict < on dis_rem + (dis - len) (vehicle.cpp:170-180);
+        # dis_rem is common, so argmin over (dis - len) picks the same
+        # candidate up to rounding ties — the documented fast-mode delta.
+        D = cfg.num_drivables
+        lane_cand = arr["last_of"][:L]
+        la = gat(fpack, lane_cand)
+        lane_val = la[:, 0] - la[:, 1]
+        LLn = D - L
+        start_lane = net["ll_start"]
+        bc = jnp.full(max(LLn, 1), -1, jnp.int32)
+        bv = jnp.zeros(max(LLn, 1), st.dis.dtype)
         for k in range(cfg.k_out):
             ol = gat(net["lane_out"], start_lane)[:, k]
             cand = jnp.where(ol >= 0, gat(arr["last_of"], ol), -1)
             ca = gat(fpack, cand)
-            cgap = dis_rem + ca[:, 0] - ca[:, 1]
-            better = (cand >= 0) & ((best_cand < 0) | (cgap < best_gap))
-            best_gap = jnp.where(better, cgap, best_gap)
-            best_cand = jnp.where(better, cand, best_cand)
-        lane_cand = gat(arr["last_of"], nd)
-        la = gat(fpack, lane_cand)
-        lane_gap = dis_rem + la[:, 0] - la[:, 1]
-        cand = jnp.where(is_ll, best_cand, lane_cand)
-        cgap = jnp.where(is_ll, best_gap, lane_gap)
+            val = ca[:, 0] - ca[:, 1]
+            better = (cand >= 0) & ((bc < 0) | (val < bv))
+            bv = jnp.where(better, val, bv)
+            bc = jnp.where(better, cand, bc)
+        cand_pack = jnp.stack([
+            jnp.concatenate([lane_cand, bc]).astype(st.dis.dtype),
+            jnp.concatenate([lane_val, bv])], axis=-1)       # (D,2)
+
+    for _ in range(cfg.k_scan):
+        nd, pos = chain_step(net, cfg, st.route, pos, cur)
+        done = done | (nd < 0)
+        if cfg.exact:
+            is_ll = nd >= L
+            # lanelink: scan ALL lanelinks leaving the same start lane
+            # (overlap rule, vehicle.cpp:170-180), strict <, first wins
+            start_lane = gat(net["ll_start"], nd - L)
+            best_cand = jnp.full_like(nd, -1)
+            best_gap = jnp.zeros_like(fgap)
+            for k in range(cfg.k_out):
+                ol = gat(net["lane_out"], start_lane)[:, k]
+                cand = jnp.where(ol >= 0, gat(arr["last_of"], ol), -1)
+                ca = gat(fpack, cand)
+                cgap = dis_rem + ca[:, 0] - ca[:, 1]
+                better = (cand >= 0) & ((best_cand < 0) | (cgap < best_gap))
+                best_gap = jnp.where(better, cgap, best_gap)
+                best_cand = jnp.where(better, cand, best_cand)
+            lane_cand = gat(arr["last_of"], nd)
+            la = gat(fpack, lane_cand)
+            lane_gap = dis_rem + la[:, 0] - la[:, 1]
+            cand = jnp.where(is_ll, best_cand, lane_cand)
+            cgap = jnp.where(is_ll, best_gap, lane_gap)
+        else:
+            cp = gat(cand_pack, nd)                       # (V,2) one gather
+            cand = cp[:, 0].astype(jnp.int32)
+            cgap = dis_rem + cp[:, 1]
         hit = ~done & (cand >= 0)
         found = jnp.where(hit, cand, found)
         fgap = jnp.where(hit, cgap, fgap)
@@ -378,13 +443,16 @@ def admit_waiting(net, cfg: StepConfig, st: SimState, arr_prev):
                            seq_counter=st.seq_counter + 1)
     # tail == null -> full scan (engine.cpp:512 -> vehicle.cpp:161-196)
     need_scan = admit & ~has_tail
+    cyc = blocker_cycles(cfg, st.blocker)
+    fattrs, iattrs = build_attr_packs(cfg, st, cyc)
     arr_now = arrangement(net, cfg, st.running, st.drv, st.dis,
-                          st.list_seq, st.params[:, P_LEN])
+                          st.list_seq, st.params[:, P_LEN],
+                          fattrs=fattrs, iattrs=iattrs)
     sl, sg = leader_scan(net, cfg, st, arr_now, need_scan)
     st = st.replace_fields(
         leader=jnp.where(need_scan, sl, st.leader),
         gap=jnp.where(need_scan, sg, st.gap))
-    return st, arr_now
+    return st, arr_now, fattrs, iattrs
 
 
 def lanelink_available(net, cfg, st):
@@ -395,65 +463,127 @@ def lanelink_available(net, cfg, st):
     return jnp.take(net["phase_rl_avail"].reshape(-1), flat)
 
 
-def notify_cross(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail):
-    """Engine::threadNotifyCross (engine.cpp:317-372). For each cross side,
-    the notifier is the vehicle with the largest front position on the
-    lanelink axis whose tail has not cleared the cross (see derivation in
-    docs/design.md). All table reads are static-index or contiguous-row
-    gathers (cross_ll / cross_end_lane / cross_start_lane are compile-time
-    constants), which the TPU executes at vector rate."""
+def notify_cross(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
+                 fattrs=None, iattrs=None):
+    """Engine::threadNotifyCross (engine.cpp:317-372) in LINK-MAJOR layout.
+
+    For each (link, cross-slot): the notifier is the candidate with the
+    largest front position whose tail has not cleared the cross. Candidates
+    are read as SLICES of the per-link attr tables (zero dynamic gathers);
+    the end-lane/start-lane specials are per-LINK values (the end/start lane
+    of a link is the same for all its crosses). The winner's derived fields
+    (canYield, reachSteps, enter time, priority, deadlock flag) are computed
+    on the own side, then ONE flat permutation (static lnk_cross_foe_pos)
+    delivers every side's FOE bundle for Cross::canPass."""
     L = cfg.num_lanes
-    C = net["cross_ll"].shape[0]
-    if C == 0:
-        z = jnp.zeros((0, 2))
-        return jnp.full((0, 2), -1, jnp.int32), z.astype(st.dis.dtype)
-    ll = net["cross_ll"]                        # (C,2) static lanelink idx
-    d = net["cross_dist"].astype(st.dis.dtype)  # (C,2)
-    l_drv = L + ll
-    ll_len = net["drv_len"][l_drv].astype(st.dis.dtype)   # static gather
-    veh_len = st.params[:, P_LEN]
+    f = st.dis.dtype
+    LLk = net["lnk_cross_d"].shape
+    LL, KC = LLk
+    dt = f.type(cfg.interval)
+    if net["cross_ll"].shape[0] == 0:
+        z = jnp.zeros((LL, KC), f)
+        zi = jnp.zeros((LL, KC), jnp.int32)
+        zb = jnp.zeros((LL, KC), bool)
+        return dict(foe_exists=zb, foe_yield=zb, foe_reach=zi,
+                    foe_cleared=zb, foe_ent=zi, foe_pri=zi, foe_cyc=zb,
+                    foe_dpos=zb, foe_dist=z, foe_idx=zi - 1)
 
-    cands = []
-    eligs = []
-    fpack = jnp.stack([st.dis, veh_len, st.prev_drv.astype(st.dis.dtype)],
-                      axis=-1)
-    # end-lane rear vehicle still clearing the link (engine.cpp:330-341)
-    ev = arr["last_of"][net["cross_end_lane"]]            # (C,2)
-    ea = gat(fpack, ev.reshape(-1)).reshape(C, 2, 3)
-    ev_ok = (ev >= 0) & (ea[:, :, 2].astype(jnp.int32) == l_drv)
-    p_e = ll_len + ea[:, :, 0]
-    t_e = p_e - ea[:, :, 1]
-    cands.append((ev, p_e))
-    eligs.append(ev_ok & (t_e < d))
-    # vehicles on the link (engine.cpp:343-359): contiguous rows of the
-    # per-link tables, static row indices
-    lv = arr["link_veh"][ll]                    # (C,2,K)
-    pv = arr["link_dis"][ll]
-    tv = pv - arr["link_len"][ll]
-    for k in range(cfg.k_link):
-        cands.append((lv[:, :, k], pv[:, :, k]))
-        eligs.append((lv[:, :, k] >= 0) & (tv[:, :, k] <= d))
-    # start-lane head approaching an available link (engine.cpp:361-369)
-    sv = arr["first_of"][net["cross_start_lane"]]
-    spk = jnp.stack([st.dis, veh_next.astype(st.dis.dtype)], axis=-1)
-    sa = gat(spk, sv.reshape(-1)).reshape(C, 2, 2)
-    sv_ok = ((sv >= 0)
-             & (sa[:, :, 1].astype(jnp.int32) == l_drv)
-             & ll_avail[ll])
-    p_s = -(net["drv_len"][net["cross_start_lane"]].astype(st.dis.dtype)
-            - sa[:, :, 0])
-    cands.append((sv, p_s))
-    eligs.append(sv_ok)
+    d = net["lnk_cross_d"].astype(f)              # (LL,KC)
+    ll_len = net["drv_len"][L:].astype(f)         # (LL,) slice
+    fA = arr["link_fattr"]                        # (LL,K,NA)
+    iA = arr["link_iattr"]
+    lv = arr["link_veh"]
 
-    NEG = jnp.asarray(-1e30, st.dis.dtype)
-    best_v = jnp.full((C, 2), -1, jnp.int32)
-    best_p = jnp.full((C, 2), NEG, st.dis.dtype)
-    for (v, pv_), el in zip(cands, eligs):
-        better = el & (pv_ > best_p)
+    # per-link specials (LL-domain gathers, tiny)
+    last_slot = gat(arr["last_of"], net["ll_end"])        # (LL,)
+    last_fa = gat(fattrs, last_slot)
+    last_ia = gat(iattrs, last_slot)
+    first_slot = gat(arr["first_of"], net["ll_start"])
+    first_fa = gat(fattrs, first_slot)
+    first_ia = gat(iattrs, first_slot)
+    first_next = gat(veh_next, first_slot)
+    start_len = gat(net["drv_len"], net["ll_start"]).astype(f)
+
+    NEG = jnp.asarray(-1e30, f)
+    best_v = jnp.full((LL, KC), -1, jnp.int32)
+    best_p = jnp.full((LL, KC), NEG, f)
+    NA = fA.shape[2]
+    best_fa = jnp.zeros((LL, KC, NA), f)
+    best_ia = jnp.zeros((LL, KC, 2), jnp.int32)
+
+    def consider(v, pv, el, cfa, cia):
+        nonlocal best_v, best_p, best_fa, best_ia
+        better = el & (pv > best_p)
         best_v = jnp.where(better, v, best_v)
-        best_p = jnp.where(better, pv_, best_p)
-    notify_dist = d - best_p
-    return best_v, notify_dist
+        best_p = jnp.where(better, pv, best_p)
+        best_fa = jnp.where(better[..., None], cfa, best_fa)
+        best_ia = jnp.where(better[..., None], cia, best_ia)
+
+    # end-lane rear vehicle still clearing the link (engine.cpp:330-341)
+    l_drv = L + jnp.arange(LL, dtype=jnp.int32)
+    ev_ok = ((last_slot >= 0)
+             & (last_fa[:, A_PREV].astype(jnp.int32) == l_drv))[:, None]
+    p_e = (ll_len + last_fa[:, A_DIS])[:, None]
+    t_e = p_e - last_fa[:, A_LEN][:, None]
+    consider(jnp.broadcast_to(last_slot[:, None], (LL, KC)), 
+             jnp.broadcast_to(p_e, (LL, KC)),
+             ev_ok & (t_e < d),
+             jnp.broadcast_to(last_fa[:, None, :], (LL, KC, NA)),
+             jnp.broadcast_to(last_ia[:, None, :], (LL, KC, 2)))
+    # vehicles on the link (engine.cpp:343-359): pure slices
+    for k in range(cfg.k_link):
+        cfa = fA[:, k, :]                          # (LL,NA) slice
+        pv = cfa[:, A_DIS][:, None]
+        tv = pv - cfa[:, A_LEN][:, None]
+        consider(jnp.broadcast_to(lv[:, k][:, None], (LL, KC)),
+                 jnp.broadcast_to(pv, (LL, KC)),
+                 (lv[:, k] >= 0)[:, None] & (tv <= d),
+                 jnp.broadcast_to(cfa[:, None, :], (LL, KC, NA)),
+                 jnp.broadcast_to(iA[:, k, :][:, None, :], (LL, KC, 2)))
+    # start-lane head approaching an available link (engine.cpp:361-369)
+    sv_ok = ((first_slot >= 0)
+             & (first_next == l_drv)
+             & ll_avail)[:, None]
+    p_s = (-(start_len - first_fa[:, A_DIS]))[:, None]
+    consider(jnp.broadcast_to(first_slot[:, None], (LL, KC)),
+             jnp.broadcast_to(p_s, (LL, KC)),
+             jnp.broadcast_to(sv_ok, (LL, KC)),
+             jnp.broadcast_to(first_fa[:, None, :], (LL, KC, NA)),
+             jnp.broadcast_to(first_ia[:, None, :], (LL, KC, 2)))
+
+    ndist = d - best_p
+    # own-side derived fields (Cross::canPass foe terms, roadnet.cpp:604-660)
+    n_exists = best_v >= 0
+    n_yield = can_yield(best_fa[..., A_SPEED], best_fa[..., A_MAXNEG],
+                        best_fa[..., A_YIELD], best_fa[..., A_LEN], ndist)
+    is_turn = net["ll_is_turn"][:, None]
+    n_target = jnp.where(is_turn, best_fa[..., A_TURNSPD],
+                         best_fa[..., A_MAXSPD])
+    n_reach = reach_steps(best_fa[..., A_SPEED], ndist, n_target,
+                          best_fa[..., A_UPA], dt)
+    n_cleared = ndist + best_fa[..., A_LEN] < 0
+
+    # permute to the FOE side: two flat static-index row gathers (floats and
+    # ints separately — INT_MAX must not round-trip through f32)
+    fpackd = jnp.stack([
+        jnp.where(n_exists, 1.0, 0.0).astype(f),
+        jnp.where(n_yield, 1.0, 0.0).astype(f),
+        jnp.where(n_cleared, 1.0, 0.0).astype(f),
+        best_fa[..., A_CYC],
+        jnp.where(ndist > 0, 1.0, 0.0).astype(f),
+        ndist], axis=-1).reshape(LL * KC, 6)
+    ipackd = jnp.stack([
+        n_reach, best_ia[..., 0], best_ia[..., 1], best_v],
+        axis=-1).reshape(LL * KC, 4)
+    pos = net["lnk_cross_foe_pos"].reshape(-1)
+    foe = fpackd[pos].reshape(LL, KC, 6)
+    ifoe = ipackd[pos].reshape(LL, KC, 4)
+    return dict(
+        foe_exists=foe[..., 0] > 0, foe_yield=foe[..., 1] > 0,
+        foe_cleared=foe[..., 2] > 0, foe_cyc=foe[..., 3] > 0,
+        foe_dpos=foe[..., 4] > 0, foe_dist=foe[..., 5].astype(f),
+        foe_reach=ifoe[..., 0], foe_ent=ifoe[..., 1],
+        foe_pri=ifoe[..., 2], foe_idx=ifoe[..., 3])
 
 
 def blocker_cycles(cfg: StepConfig, blocker):
@@ -474,7 +604,7 @@ def blocker_cycles(cfg: StepConfig, blocker):
 
 
 def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
-               notify_veh, notify_dist):
+               notify_foe):
     """Engine::vehicleControl + Vehicle::getNextSpeed for all running
     vehicles (engine.cpp:188-251, vehicle.cpp:308-376)."""
     f = st.dis.dtype
@@ -544,37 +674,11 @@ def get_action(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     KC = cfg.k_cross
     C = net["cross_dist"].shape[0]
 
-    # ---- per-side notifier bundle (flat j = cross*2 + side) ----
-    nv = notify_veh.reshape(-1) if notify_veh.size else jnp.zeros(1, jnp.int32) - 1
-    ndist = (notify_dist.reshape(-1).astype(f) if notify_dist.size
-             else jnp.zeros(1, f))
-    npar = gat(st.params, nv)                              # (C2,12)
-    nint = gat(jnp.stack([st.enter_ll_time, st.priority], axis=-1), nv)
-    nspeed = gat(st.speed, nv)
-    n_exists = nv >= 0
-    n_yield = can_yield(nspeed, npar[:, P_MAXNEGACC], npar[:, P_YIELD],
-                        npar[:, P_LEN], ndist)
-    n_is_turn = (net["cross_is_turn"].reshape(-1) if C else
-                 jnp.zeros(1, bool))
-    n_target = jnp.where(n_is_turn, npar[:, P_TURNSPEED], npar[:, P_MAXSPEED])
-    n_reach = reach_steps(nspeed, ndist, n_target, npar[:, P_USUALPOSACC], dt)
-    n_cleared = ndist + npar[:, P_LEN] < 0
-    n_ent = nint[:, 0]
-    n_pri = nint[:, 1]
-    cyc = blocker_cycles(cfg, st.blocker)
-    n_cyc = gat(cyc, nv)
-    n_dpos = ndist > 0
-
-    # ---- per-link packed foe tables (static-index gathers, tiny) ----
-    ff = net["lnk_cross_foeflat"]                          # (LL,KC) static
-    lt = dict(
-        foe_exists=n_exists[ff], foe_yield=n_yield[ff],
-        foe_reach=n_reach[ff], foe_cleared=n_cleared[ff],
-        foe_ent=n_ent[ff], foe_pri=n_pri[ff], foe_cyc=n_cyc[ff],
-        foe_dpos=n_dpos[ff], foe_dist=ndist[ff], foe_idx=nv[ff])
+    # foe tables arrive in link-major layout straight from notify_cross
+    lt = notify_foe
 
     # ---- per-vehicle row gathers ----
-    safe_ll = jnp.clip(the_ll, 0, max(ff.shape[0] - 1, 0))
+    safe_ll = jnp.clip(the_ll, 0, max(net["lnk_cross_d"].shape[0] - 1, 0))
     cvalid = net["lnk_cross_valid"][safe_ll] & has_ll[:, None]   # (V,KC)
     d_onl = net["lnk_cross_d"][safe_ll].astype(f)
     t2 = net["lnk_cross_foetype"][safe_ll]
@@ -826,10 +930,12 @@ def lc_commit(cfg: StepConfig, st: SimState, buf, removed):
     return st
 
 
-def update_leader_and_gap(net, cfg: StepConfig, st: SimState):
+def update_leader_and_gap(net, cfg: StepConfig, st: SimState,
+                          fattrs=None, iattrs=None):
     """Engine::threadUpdateLeaderAndGap (engine.cpp:429-442)."""
     arr = arrangement(net, cfg, st.running, st.drv, st.dis,
-                      st.list_seq, st.params[:, P_LEN])
+                      st.list_seq, st.params[:, P_LEN],
+                      fattrs=fattrs, iattrs=iattrs)
     in_leader = arr["leader"]
     has_in = in_leader >= 0
     ila = gat(jnp.stack([st.dis, st.params[:, P_LEN]], axis=-1), in_leader)
@@ -870,7 +976,7 @@ def step(net: Dict[str, Any], cfg: StepConfig, st: SimState, spawn_tbl):
 
     # handleWaiting (uses end-of-previous-step arrangement for lane tails)
     arr_prev = dict(last_of=st.last_of_drv)
-    st, arr = admit_waiting(net, cfg, st, arr_prev)
+    st, arr, fattrs, iattrs = admit_waiting(net, cfg, st, arr_prev)
 
     if cfg.lane_change:
         # initSegments + planLaneChange + scheduleLaneChange
@@ -878,16 +984,19 @@ def step(net: Dict[str, Any], cfg: StepConfig, st: SimState, spawn_tbl):
         # shadow insertion changed the lists (engine.cpp:574)
         from cityflow_tpu.core import lanechange as lc_mod
         st = lc_mod.plan_lane_change(net, cfg, st, arr)
-        st, arr = update_leader_and_gap(net, cfg, st)
+        cyc = blocker_cycles(cfg, st.blocker)
+        fattrs, iattrs = build_attr_packs(cfg, st, cyc)
+        st, arr = update_leader_and_gap(net, cfg, st, fattrs, iattrs)
 
     # notifyCross
     ll_avail = lanelink_available(net, cfg, st)
     veh_next, _ = chain_step(net, cfg, st.route, st.route_pos, st.drv)
-    notify_veh, notify_dist = notify_cross(net, cfg, st, arr, veh_next, ll_avail)
+    notify_foe = notify_cross(net, cfg, st, arr, veh_next, ll_avail,
+                              fattrs, iattrs)
 
     # getAction
     buf, ov_hop = get_action(net, cfg, st, arr, veh_next, ll_avail,
-                             notify_veh, notify_dist)
+                             notify_foe)
 
     # updateLocation / updateAction
     st, removed = update_location(net, cfg, st, arr, buf)

@@ -63,7 +63,8 @@ def _net_device_arrays(net: CompiledNet, dtype=None) -> Dict[str, jnp.ndarray]:
             "phase_rl_avail", "inter_virtual", "cross_dist", "cross_ll",
             "ll_cross_idx", "ll_cross_side",
             "lnk_cross_d", "lnk_cross_valid", "lnk_cross_selfflat",
-            "lnk_cross_foeflat", "lnk_cross_foetype", "cross_end_lane",
+            "lnk_cross_foeflat", "lnk_cross_foetype", "lnk_cross_foe_pos",
+            "cross_end_lane",
             "cross_start_lane", "cross_type", "cross_is_turn",
             "route_len", "route_roads",
             "route_next_ll", "flow_route", "flow_params", "flow_interval",

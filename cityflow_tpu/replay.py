@@ -1,65 +1,130 @@
-"""Replay log writer (frontend-compatible).
+"""Replay log writer — frontend-compatible.
 
-Formats match the reference (engine.cpp:518-554 updateLog and
-RoadNet::convertToJson, roadnet.cpp:327-394) so the bundled PIXI.js frontend
-can play our logs. Placeholder until the render-position kernel lands.
+Formats match the reference (roadnetLogFile from RoadNet::convertToJson,
+roadnet.cpp:327-394; per-step text lines from Engine::updateLog,
+engine.cpp:518-554) so the bundled PIXI.js player (frontend/) can play our
+logs:
+
+  <x> <y> <angle> <id> <lcDir> <len> <width>,...;roadId g/r...,
 """
 
 import json
+import math
+
+import numpy as np
 
 
 def write_roadnet_log(net, path: str):
+    """Static geometry document (reference RoadNet::convertToJson)."""
     host = net.host
-    doc = {"static": {
-        "nodes": [
-            {"id": i.id,
-             "point": [i.point[0], i.point[1]],
-             "virtual": i.virtual,
-             **({"width": i.width} if not i.virtual else {}),
-             "outline": []}
-            for i in host.net.intersections
-        ],
-        "edges": [
-            {"id": r.id,
-             "from": r.start_intersection.id,
-             "to": r.end_intersection.id,
-             "points": [[p[0], p[1]] for p in r.points],
-             "nLane": len(r.lanes),
-             "laneWidths": [l.width for l in r.lanes]}
-            for r in host.net.roads
-        ],
-    }}
+    nodes = []
+    for inter in host.net.intersections:
+        node = {"id": inter.id,
+                "point": [inter.point[0], inter.point[1]],
+                "virtual": inter.virtual}
+        if not inter.virtual:
+            node["width"] = inter.width
+        node["outline"] = [c for p in _outline(inter) for c in p]
+        nodes.append(node)
+    edges = []
+    for r in host.net.roads:
+        edges.append({
+            "id": r.id,
+            "from": r.start_intersection.id,
+            "to": r.end_intersection.id,
+            "points": [[p[0], p[1]] for p in r.points],
+            "nLane": len(r.lanes),
+            "laneWidths": [l.width for l in r.lanes]})
     with open(path, "w") as f:
-        json.dump(doc, f)
+        json.dump({"static": {"nodes": nodes, "edges": edges}}, f)
+
+
+def _outline(inter):
+    # the frontend only needs a rough hull; use road endpoints offset by
+    # intersection width (the reference computes a convex hull,
+    # roadnet.cpp:750-818 — visual-only, not simulation state)
+    pts = [inter.point]
+    w = inter.width if not inter.virtual else 0.0
+    x, y = inter.point
+    for sx, sy in ((1, 1), (1, -1), (-1, -1), (-1, 1)):
+        pts.append((x + sx * w, y + sy * w))
+    return pts
+
+
+class PositionIndex:
+    """Per-drivable polyline cumulative lengths for point-at-distance."""
+
+    def __init__(self, net):
+        host = net.host
+        self.polys = []
+        for lane in host.net.lanes:
+            self.polys.append(np.asarray(lane.points, np.float64))
+        for ll in host.net.lane_links:
+            self.polys.append(np.asarray(ll.points, np.float64))
+        self.cum = []
+        for p in self.polys:
+            seg = np.sqrt(((p[1:] - p[:-1]) ** 2).sum(1))
+            self.cum.append(np.concatenate([[0.0], np.cumsum(seg)]))
+
+    def point_dir(self, drv: int, dis: float):
+        """getPointByDistance + getDirectionByDistance
+        (roadnet.cpp:395-410)."""
+        p, c = self.polys[drv], self.cum[drv]
+        i = int(np.searchsorted(c[1:-1], dis, side="right"))
+        seg = p[i + 1] - p[i]
+        ln = max(float(np.sqrt((seg ** 2).sum())), 1e-12)
+        t = (dis - c[i]) / ln
+        pt = p[i] + seg * t
+        return pt, seg / ln
 
 
 def step_line(engine, cache) -> str:
-    """Per-step replay text line: vehicles then light states. Vehicle render
-    positions (polyline interpolation) land with the observation kernels;
-    until then we emit the signal part, which the metrics pipeline uses."""
-    parts = [";"]
+    """One replay text line (Engine::updateLog)."""
     host = engine.net.host
-    # per-road light state g/r/i (engine.cpp:532-552)
-    # computed host-side from the current phase masks
-    import numpy as np
+    L = engine.cfg.num_lanes
+    if not hasattr(engine, "_pos_index"):
+        engine._pos_index = PositionIndex(engine.net)
+    pidx = engine._pos_index
+
+    parts = []
+    order = engine._pool_order(cache)
+    for s in order:
+        d = int(cache["drv"][s])
+        if d < 0:
+            continue
+        dis = float(cache["dis"][s])
+        off = float(cache.get("offset", np.zeros(1))[s]) \
+            if "offset" in cache else 0.0
+        pt, u = pidx.point_dir(d, dis)
+        if abs(off) > 1e-8 and d < L:
+            lane = host.net.lanes[d]
+            nb = lane.outer_lane() if off > 0 else lane.inner_lane()
+            if nb is not None:
+                pt2, _ = pidx.point_dir(nb.index, dis)
+                pct = 2 * abs(off) / (lane.width + nb.width)
+                pt = pt2 * pct + pt * (1 - pct)
+        ang = math.atan2(u[1], u[0])
+        lc = int(cache["lc_last_dir"][s]) if "lc_last_dir" in cache else 0
+        vid = engine._veh_id(int(cache["uid"][s]))
+        ln = float(engine.state.params[s, 1])
+        wd = float(engine.state.params[s, 2])
+        parts.append(f"{pt[0]:.6g} {pt[1]:.6g} {ang:.6g} {vid} {lc} "
+                     f"{ln:.6g} {wd:.6g},")
+    parts.append(";")
+
     phase = np.asarray(engine.state.phase)
-    net = engine.net
     for road in host.net.roads:
         if road.end_intersection.virtual:
             continue
         seg = [road.id]
+        inter = road.end_intersection
         for lane in road.lanes:
-            inter = road.end_intersection
             if inter.is_implicit():
                 seg.append("i")
                 continue
-            can_go = True
-            for ll in lane.lane_links:
-                rl = ll.road_link
-                ph = inter.phases[phase[inter.index]]
-                if not ph.road_link_available[rl.index]:
-                    can_go = False
-                    break
+            ph = inter.phases[int(phase[inter.index])]
+            can_go = all(ph.road_link_available[ll.road_link.index]
+                         for ll in lane.lane_links)
             seg.append("g" if can_go else "r")
         parts.append(" ".join(seg) + ",")
     return "".join(parts)

@@ -1,0 +1,109 @@
+"""Vectorized signal-control RL environment.
+
+The reference is used through per-call getters + set_tl_phase from Python
+RL loops (SURVEY.md 3.3). Here the whole env batch lives on device: one
+jitted call steps B envs, applies per-env phase actions, and returns the
+observation bundle — no host Python in the inner loop. Shards over a
+`jax.sharding.Mesh` for multi-chip / multi-host scale-out.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cityflow_tpu.compiler.net import compile_scenario
+from cityflow_tpu.compiler.spawn import SpawnGenerator
+from cityflow_tpu.core.state import StepConfig, init_state
+from cityflow_tpu.core import step as step_mod
+from cityflow_tpu.core import observe
+from cityflow_tpu.engine import _net_device_arrays, _enable_compilation_cache
+from cityflow_tpu.parallel.batch import init_batch_state
+
+
+class CityFlowVecEnv:
+    """Gym-style vectorized env: actions = (B, I) phase indices,
+    observations = dict of (B, ...) arrays, reward = negative waiting."""
+
+    def __init__(self, config_path: str, batch: int = 64,
+                 max_vehicles: int = 4096, horizon: int = 4096,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 action_interval: int = 1):
+        _enable_compilation_cache()
+        self.net = compile_scenario(config_path)
+        cfgj = self.net.host.config
+        self.interval = float(cfgj["interval"])
+        self.batch = batch
+        self.action_interval = action_interval
+
+        gen = SpawnGenerator(self.net, int(cfgj["seed"]), self.interval)
+        gen.extend(horizon)
+        t = gen.arrays()
+        pad = max(gen.max_per_step, 1)
+        self._spawn = {k: jnp.asarray(np.concatenate(
+            [t[k], np.full(pad, -1 if k == "step" else 0, t[k].dtype)]))
+            for k in ("step", "flow", "priority", "first_drv", "route")}
+
+        L = self.net.num_lanes
+        ll_len = self.net.drv_len[L:] if self.net.num_links else np.zeros(1)
+        k_link = int(min(16, np.ceil(ll_len.max() / 7.0) + 2)) \
+            if self.net.num_links else 4
+        self.cfg = StepConfig(
+            interval=self.interval, num_lanes=L,
+            num_drivables=L + self.net.num_links,
+            max_vehicles=max_vehicles, max_spawn_per_step=gen.max_per_step,
+            k_link=k_link, k_out=max(self.net.host.ko, 1),
+            k_cross=max(self.net.host.kc, 1),
+            rl_traffic_light=True, exact=False)
+        self._net_dev = _net_device_arrays(self.net, np.float32)
+        self._st0 = init_state(self.cfg, self.net.num_inters,
+                               self.net.phase_time, self.net.n_phases,
+                               self.net.phase_offset)
+        self.num_intersections = self.net.num_inters
+        self.num_phases = self.net.n_phases  # (I,) per intersection
+        self.state = None
+
+        net_dev, cfg, spawn = self._net_dev, self.cfg, self._spawn
+        n_sub = self.action_interval
+
+        def one(st, phases):
+            st = st.replace_fields(phase=phases)
+            for _ in range(n_sub):
+                st = step_mod.step.__wrapped__(net_dev, cfg, st, spawn)
+            obs = observe.observations(net_dev, cfg, st)
+            reward = -jnp.sum(obs["lane_waiting"].astype(jnp.float32))
+            return st, (obs, reward)
+
+        batched = jax.vmap(one, in_axes=(0, 0))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._step = jax.jit(batched, in_shardings=(shard, shard),
+                                 out_shardings=(shard, (shard, shard)))
+            self._shard = shard
+        else:
+            self._step = jax.jit(batched)
+            self._shard = None
+
+    def reset(self):
+        self.state = init_batch_state(self.cfg, self._st0, self.batch)
+        if self._shard is not None:
+            self.state = jax.device_put(self.state, self._shard)
+        obs = jax.vmap(
+            lambda s: observe.observations(self._net_dev, self.cfg, s)
+        )(self.state)
+        return obs
+
+    def step(self, phases):
+        """phases: (B, I) int32 -> (obs dict, reward (B,), state)."""
+        self.state, (obs, reward) = self._step(self.state, phases)
+        return obs, reward
+
+    def max_pressure_actions(self):
+        """On-device MaxPressure controller actions for the current state."""
+        from cityflow_tpu.rl.policies import max_pressure_phases
+        mp = int(self.net.n_phases.max()) if self.net.n_phases.size else 1
+        return jax.jit(jax.vmap(
+            lambda s: max_pressure_phases(self._net_dev, self.cfg, s, mp)
+        ))(self.state)
