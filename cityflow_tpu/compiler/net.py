@@ -255,8 +255,13 @@ def compile_arrays(net: HostRoadNet, flows: List[FlowSpec], routes,
         out.lnk_cross_foetype = np.zeros_like(ll_cross_idx)
 
     # routes + next-lanelink tables
-    NR = max(len(routes), 1)
-    rlen = max((len(r) for r in routes), default=1) or 1
+    # headroom so push_vehicle / set_vehicle_route can register new routes,
+    # templates without changing array shapes (no re-jit)
+    ROUTE_HEADROOM = 32
+    RLEN_HEADROOM = 8
+    FLOW_HEADROOM = 32
+    NR = max(len(routes), 1) + ROUTE_HEADROOM
+    rlen = (max((len(r) for r in routes), default=1) or 1) + RLEN_HEADROOM
     maxlpr = max((len(r.lanes) for r in net.roads), default=1) or 1
     route_len = np.zeros(NR, np.int32)
     route_roads = np.full((NR, rlen), -1, np.int32)
@@ -274,7 +279,7 @@ def compile_arrays(net: HostRoadNet, flows: List[FlowSpec], routes,
     out.route_next_ll = route_next_ll
 
     # flows
-    F = max(len(flows), 1)
+    F = max(len(flows), 1) + FLOW_HEADROOM
     out.flow_route = np.full(F, -1, np.int32)
     out.flow_params = np.zeros((F, NUM_PARAMS), np.float64)
     out.flow_interval = np.ones(F, np.float64)

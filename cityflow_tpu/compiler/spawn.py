@@ -65,6 +65,7 @@ class SpawnGenerator:
     def __init__(self, net: CompiledNet, seed: int, interval: float):
         self.net = net
         self.interval = interval
+        self._base_seed = seed
         self.rng = MT19937(seed)
         self.drawn = set()
         self.fs = FlowRuntime.fresh(net)
@@ -82,6 +83,11 @@ class SpawnGenerator:
         self._cols = {k: [] for k in
                       ("step", "flow", "cnt", "priority", "first_drv", "route")}
         self._arrays = None
+        # manually pushed vehicles (Engine::pushVehicle, engine.cpp:693-717):
+        # each consumes priority+thread draws at push time and a first-lane
+        # draw in the next planRoute, exactly like a flow spawn
+        self.manuals = []        # (inject_step, road, flow_idx, route, cands, serial)
+        self._stream_dirty = False  # reset/reseed happened: cannot replay
 
     # -- mt19937 draw helpers -------------------------------------------------
     def _draw_priority(self) -> int:
@@ -104,6 +110,17 @@ class SpawnGenerator:
         for step in range(self.next_step, up_to_step):
             staged = []   # (first_road, seq, flow, cnt, priority)
             seq = 0
+            # manual pushes made before this step: ctor+thread draws at push
+            # time, buffered FIRST in their road's planRoute queue
+            n_man = 0
+            for (mstep, road, fidx, rid, cands, serial) in self.manuals:
+                if mstep != step:
+                    continue
+                pri = self._draw_priority()
+                _thread = self.rng()
+                staged.append((road, -1000 + n_man, ("manual", fidx, rid,
+                                                     cands, serial), pri))
+                n_man += 1
             for i in range(F):
                 # Flow::nextStep (flow.cpp:6-22)
                 if not fs.alive[i]:
@@ -114,8 +131,8 @@ class SpawnGenerator:
                     while fs.now_time[i] >= self._intervals[i]:
                         pri = self._draw_priority()
                         _thread = self.rng()  # engine.cpp:606 (value unused)
-                        staged.append((self._first_road[i], seq, i,
-                                       int(fs.cnt[i]), pri))
+                        staged.append((self._first_road[i], seq,
+                                       (i, int(fs.cnt[i])), pri))
                         seq += 1
                         fs.cnt[i] += 1
                         fs.now_time[i] -= self._intervals[i]
@@ -124,7 +141,21 @@ class SpawnGenerator:
             # planRoute main stage: ROAD order, then buffer order (engine.cpp:453)
             staged.sort(key=lambda t: (t[0], t[1]))
             emitted = 0
-            for _road, _seq, i, cnt_i, pri in staged:
+            for _road, _seq, spec, pri in staged:
+                if isinstance(spec[0], str):    # manual push
+                    _, fidx, rid, cands, serial = spec
+                    if rid < 0 or not cands:
+                        continue                # discarded; no flow disabling
+                    lane = cands[self.rng() % len(cands)]
+                    cols["step"].append(step)
+                    cols["flow"].append(fidx)
+                    cols["cnt"].append(serial)
+                    cols["priority"].append(pri)
+                    cols["first_drv"].append(lane)
+                    cols["route"].append(rid)
+                    emitted += 1
+                    continue
+                i, cnt_i = spec
                 if self._routes_of[i] < 0:
                     fs.alive[i] = False   # engine.cpp:458-461, no lane draw
                     continue
@@ -150,9 +181,14 @@ class SpawnGenerator:
         for c in self._cols.values():
             c.clear()
         self._arrays = None
+        self.manuals = []
         if reseed_to is not None:
             self.rng = MT19937(reseed_to)
             self.drawn = set()
+            self._stream_dirty = False
+            self._base_seed = reseed_to
+        else:
+            self._stream_dirty = True
 
     def reseed(self, seed: int, current_step: int):
         """Engine::setRandomSeed mid-run: future draws come from the new
@@ -160,6 +196,7 @@ class SpawnGenerator:
         (step < current_step) are kept; later rows are regenerated."""
         self.rng = MT19937(seed)
         self.drawn = set()
+        self._stream_dirty = True
         keep = [k for k, s in enumerate(self._cols["step"]) if s < current_step]
         if len(keep) != len(self._cols["step"]):
             for name in self._cols:
@@ -184,6 +221,28 @@ class SpawnGenerator:
                 fs.current_time[i] += self.interval
         self.next_step = current_step
         self._arrays = None
+
+    def inject_manual(self, step: int, road: int, flow_idx: int,
+                      route_id: int, cand_lanes, serial: int):
+        """Engine::pushVehicle between steps: rows from `step` onward are
+        regenerated with the manual vehicle's draws interleaved. Requires a
+        replayable stream (no reset(resetRnd=False)/mid-run reseed before)."""
+        if self._stream_dirty:
+            raise NotImplementedError(
+                "push_vehicle after reset(resetRnd=False) or a mid-run "
+                "set_random_seed is not supported by the host RNG replay")
+        horizon = self.next_step
+        self.manuals.append((step, road, flow_idx, route_id,
+                             list(cand_lanes), serial))
+        # replay everything from scratch (deterministic)
+        self.rng = MT19937(self._base_seed)
+        self.drawn = set()
+        self.fs = FlowRuntime.fresh(self.net)
+        self.next_step = 0
+        for c in self._cols.values():
+            c.clear()
+        self._arrays = None
+        self.extend(max(horizon, step + 2))
 
     # -- table access -----------------------------------------------------------
     def arrays(self):

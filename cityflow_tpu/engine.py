@@ -271,11 +271,118 @@ class Engine:
             custom_speed=st.custom_speed.at[slot].set(speed),
             has_custom=st.has_custom.at[slot].set(True))
 
+    def _register_route(self, route) -> int:
+        """Write a new road route into the (headroomed) route tables;
+        returns its id. Contents-only update: no re-jit."""
+        host = self.net.host
+        key = tuple(r.index for r in route)
+        if not hasattr(self, "_route_ids"):
+            self._route_ids = {tuple(r.index for r in rt): i
+                               for i, rt in enumerate(host.routes)}
+        if key in self._route_ids:
+            return self._route_ids[key]
+        rid = len(host.routes)
+        net = self.net
+        if rid >= net.route_len.shape[0] or \
+                len(route) > net.route_roads.shape[1]:
+            raise RuntimeError("route table headroom exhausted; recreate the "
+                               "Engine with a larger scenario compile")
+        from cityflow_tpu.compiler import flows as flows_mod
+        net.route_len[rid] = len(route)
+        L = net.num_lanes
+        for k, road in enumerate(route):
+            net.route_roads[rid, k] = road.index
+            net.route_next_ll[rid, k, :] = -1
+            for lane in road.lanes:
+                nxt = flows_mod.next_lanelink_for(route, k, lane)
+                if nxt is not None:
+                    net.route_next_ll[rid, k, lane.lane_index] = L + nxt.index
+        host.routes.append(route)
+        self._route_ids[key] = rid
+        for k in ("route_len", "route_roads", "route_next_ll"):
+            self._net_dev[k] = jnp.asarray(getattr(net, k))
+        return rid
+
     def set_vehicle_route(self, vid: str, anchors: List[str]) -> bool:
-        raise NotImplementedError("set_vehicle_route lands with dynamic routing")
+        """reference Engine::setRoute -> Router::setRoute
+        (engine.cpp:852-866, router.cpp:245-264)."""
+        from cityflow_tpu.compiler import flows as flows_mod
+        host = self.net.host
+        slot = self._id_to_slot(vid)
+        if slot is None:
+            return False
+        c = self._fetch()
+        drv = int(c["drv"][slot])
+        if drv < 0 or drv >= self.cfg.num_lanes:
+            return False  # on a lanelink (router.cpp:246)
+        try:
+            anchor_roads = [host.net.road_map[a] for a in anchors]
+        except KeyError:
+            return False
+        cur_road = host.net.lanes[drv].road
+        route = flows_mod.update_shortest_path(
+            host.net, [cur_road] + anchor_roads)
+        if route is None:
+            return False
+        rid = self._register_route(route)
+        # onValidLane under the new route (router.cpp:254-257)
+        if len(route) > 1 and \
+                self.net.route_next_ll[rid, 0, host.net.lanes[drv].lane_index] < 0:
+            return False
+        st = self.state
+        self.state = st.replace_fields(
+            route=st.route.at[slot].set(rid),
+            route_pos=st.route_pos.at[slot].set(0))
+        self._fetched_step = -1
+        return True
 
     def push_vehicle(self, info: dict, roads: List[str]):
-        raise NotImplementedError("push_vehicle lands with dynamic routing")
+        """reference Engine::pushVehicle(info, roads) (engine.cpp:693-717):
+        creates a vehicle with custom parameters and an anchor-road route,
+        queued for next step's planRoute. RNG draws are replayed exactly."""
+        from cityflow_tpu.compiler import flows as flows_mod
+        from cityflow_tpu.compiler.flows import VehicleTemplate
+        host = self.net.host
+        tpl = VehicleTemplate(
+            speed=float(info.get("speed", 0.0)),
+            len=float(info.get("length", 5.0)),
+            width=float(info.get("width", 2.0)),
+            maxPosAcc=float(info.get("maxPosAcc", 4.5)),
+            maxNegAcc=float(info.get("maxNegAcc", 4.5)),
+            usualPosAcc=float(info.get("usualPosAcc", 2.5)),
+            usualNegAcc=float(info.get("usualNegAcc", 2.5)),
+            minGap=float(info.get("minGap", 2.0)),
+            maxSpeed=float(info.get("maxSpeed", 16.66667)),
+            headwayTime=float(info.get("headwayTime", 1.0)))
+        anchor_roads = [host.net.road_map[r] for r in roads]
+        route = flows_mod.update_shortest_path(host.net, anchor_roads)
+        rid = self._register_route(route) if route is not None else -1
+        # synthetic flow row for the custom params
+        net = self.net
+        n_real = len(host.flows)
+        fid = n_real + len(self._pushed_ids)
+        if fid >= net.flow_params.shape[0]:
+            raise RuntimeError("flow table headroom exhausted")
+        net.flow_params[fid] = tpl.as_list()
+        self._net_dev["flow_params"] = jnp.asarray(
+            net.flow_params if self._exact
+            else net.flow_params.astype(np.float32))
+        serial = self._manually_pushed
+        self._manually_pushed += 1
+        cands = (flows_mod.first_lane_candidates(route)
+                 if route is not None else [])
+        self._spawn.inject_manual(int(self.state.step),
+                                  anchor_roads[0].index, fid, rid,
+                                  [l.index for l in cands], serial)
+        self._upload_spawn()
+        if self._spawn.max_per_step > self.cfg.max_spawn_per_step:
+            self.cfg = dc_replace(
+                self.cfg, max_spawn_per_step=self._spawn.max_per_step)
+        # name the row's uid
+        t = self._spawn.arrays()
+        hits = np.nonzero((t["flow"] == fid) & (t["cnt"] == serial))[0]
+        if hits.size:
+            self._pushed_ids[int(hits[0])] = f"manually_pushed_{serial}"
 
     # ------------------------------------------------------------------
     # query API
