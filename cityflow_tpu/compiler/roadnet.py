@@ -194,6 +194,8 @@ class Intersection:
         # reference: roadnet.cpp:515-576
         all_lls = self.lane_links()
         n = len(all_lls)
+        if n > 1 and self._init_crosses_native(all_lls):
+            return
         for i in range(n):
             for j in range(i + 1, n):
                 la, lb = all_lls[i], all_lls[j]
@@ -243,6 +245,65 @@ class Intersection:
             std_sort(ll.crosses,
                      lambda ca, cb: (ca.distance_on_lane[0 if ca.lane_links[0] is ll else 1]
                                      < cb.distance_on_lane[0 if cb.lane_links[0] is ll else 1]))
+
+    def _init_crosses_native(self, all_lls) -> bool:
+        """C++ kernel path (cityflow_tpu/native): bit-identical doubles,
+        real libstdc++ std::sort for the per-link tie order."""
+        from cityflow_tpu import native
+        import ctypes
+        import numpy as np
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        n = len(all_lls)
+        offsets = np.zeros(n + 1, np.int64)
+        for i, ll in enumerate(all_lls):
+            offsets[i + 1] = offsets[i] + len(ll.points)
+        pts = np.empty((offsets[-1], 2), np.float64)
+        for i, ll in enumerate(all_lls):
+            pts[offsets[i]:offsets[i + 1]] = ll.points
+        widths = np.array([ll.width for ll in all_lls], np.float64)
+        cap = max(n * n, 16)
+        oa = np.zeros(cap, np.int64)
+        ob = np.zeros(cap, np.int64)
+        oda = np.zeros(cap, np.float64)
+        odb = np.zeros(cap, np.float64)
+        oang = np.zeros(cap, np.float64)
+        osa = np.zeros(cap, np.float64)
+        osb = np.zeros(cap, np.float64)
+        D = ctypes.POINTER(ctypes.c_double)
+        L = ctypes.POINTER(ctypes.c_longlong)
+        cnt = lib.find_crosses(
+            n, pts.ctypes.data_as(D), offsets.ctypes.data_as(L),
+            widths.ctypes.data_as(D), cap,
+            oa.ctypes.data_as(L), ob.ctypes.data_as(L),
+            oda.ctypes.data_as(D), odb.ctypes.data_as(D),
+            oang.ctypes.data_as(D), osa.ctypes.data_as(D),
+            osb.ctypes.data_as(D))
+        if cnt < 0:
+            return False
+        for k in range(cnt):
+            cross = Cross(
+                lane_links=[all_lls[oa[k]], all_lls[ob[k]]],
+                distance_on_lane=[float(oda[k]), float(odb[k])],
+                ang=float(oang[k]),
+                safe_distances=[float(osa[k]), float(osb[k])])
+            self.crosses.append(cross)
+            cross.lane_links[0].crosses.append(cross)
+            cross.lane_links[1].crosses.append(cross)
+        # per-link sort with the real std::sort
+        for ll in all_lls:
+            m = len(ll.crosses)
+            if m < 2:
+                continue
+            order = np.arange(m, dtype=np.int64)
+            dist = np.array([c.distance_on_lane[0 if c.lane_links[0] is ll
+                                                else 1] for c in ll.crosses],
+                            np.float64)
+            lib.sort_link_crosses(m, order.ctypes.data_as(L),
+                                  dist.ctypes.data_as(D))
+            ll.crosses = [ll.crosses[int(j)] for j in order]
+        return True
 
 
 def _default_lanelink_points(start_lane: Lane, end_lane: Lane) -> List[geo.Point]:
