@@ -24,12 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="tests/fixtures/config_4x4.json")
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=128)
-    ap.add_argument("--warmup", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--max-vehicles", type=int, default=4096)
     ap.add_argument("--ref-steps-per-s", type=float, default=182.0,
                     help="reference C++ 1-thread steps/s on this scenario")
+    ap.add_argument("--k-scan", type=int, default=6)
+    ap.add_argument("--k-hop", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -67,7 +69,7 @@ def main():
         num_drivables=net.num_lanes + net.num_links,
         max_vehicles=args.max_vehicles,
         max_spawn_per_step=gen.max_per_step,
-        k_link=k_link,
+        k_link=k_link, k_scan=args.k_scan, k_hop=args.k_hop,
         k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
         exact=False)

@@ -117,7 +117,7 @@ class StepConfig:
     k_cross: int = 32         # max crosses per lanelink
     k_scan: int = 6           # leader-scan drivable lookahead
     k_hop: int = 4            # max drivables crossed per step
-    k_chase: int = 24         # blocker-cycle detection iterations
+    k_chase: int = 6          # fast-mode deadlock-walk cap (2**k_chase steps)
     k_phase: int = 8          # light phase advances per step
     max_remove: int = 16      # ordered-sum buffer for finish stats (grows)
     rl_traffic_light: bool = False

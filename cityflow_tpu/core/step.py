@@ -595,9 +595,13 @@ def blocker_cycles(cfg: StepConfig, blocker):
     ALL slots at once by log2(V) pointer-doubling squarings (each one gather)
     — exact for any chain length, unlike a bounded Floyd unroll."""
     V = blocker.shape[0]
+    # fast mode caps the walk: blocker chains beyond ~2^k_chase vehicles are
+    # deep-gridlock cases where the cap only delays the deadlock release by
+    # a step; exact mode walks the full V for strict reference parity
+    limit = V if cfg.exact else min(V, 1 << min(cfg.k_chase, 10))
     f = blocker  # f[v] = node after 1 step (-1 absorbing via masked gather)
     steps = 1
-    while steps < V:
+    while steps < limit:
         f = jnp.where(f >= 0, gat(f, f), -1)
         steps *= 2
     return f >= 0

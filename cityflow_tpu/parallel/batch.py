@@ -85,7 +85,7 @@ def make_rollout(net, cfg: StepConfig, n_steps: int):
     """rollout(state_B, spawn_tbl) -> state_B after n_steps, fully on device
     via lax.scan (the bench and training inner loop — zero host round-trips)."""
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def rollout(state, spawn_tbl):
         def body(st, _):
             st2 = jax.vmap(
