@@ -40,7 +40,7 @@ def main():
     from cityflow_tpu.compiler.spawn import SpawnGenerator
     from cityflow_tpu.core.state import StepConfig, init_state
     from cityflow_tpu.engine import _net_device_arrays, _enable_compilation_cache
-    from cityflow_tpu.parallel.batch import init_batch_state, make_rollout
+    from cityflow_tpu.parallel.batch import init_batch_state
     import numpy as np
 
     _enable_compilation_cache()
@@ -79,12 +79,18 @@ def main():
                      net.phase_offset)
     state = init_batch_state(cfg, st0, args.batch)
 
-    warm = make_rollout(net_dev, cfg, args.warmup)
-    roll = make_rollout(net_dev, cfg, args.steps)
-
-    state = jax.block_until_ready(warm(state, spawn_dev))
+    # dispatch-loop stepping: async dispatch per step, block once at the end
+    # (measured ~8x faster than a lax.scan rollout on the axon TPU runtime)
+    from cityflow_tpu.core import step as step_mod
+    step_b = jax.jit(jax.vmap(
+        lambda s: step_mod.step.__wrapped__(net_dev, cfg, s, spawn_dev)))
+    for _ in range(args.warmup):
+        state = step_b(state)
+    state = jax.block_until_ready(state)
     t0 = time.time()
-    state = jax.block_until_ready(roll(state, spawn_dev))
+    for _ in range(args.steps):
+        state = step_b(state)
+    state = jax.block_until_ready(state)
     dt = time.time() - t0
 
     ov = int(jnp.max(state.overflow))
