@@ -32,6 +32,9 @@ def main():
                     help="reference C++ 1-thread steps/s on this scenario")
     ap.add_argument("--k-scan", type=int, default=6)
     ap.add_argument("--k-hop", type=int, default=4)
+    ap.add_argument("--split-phases", action="store_true",
+                    help="three separately-jitted sub-programs (for nets too "
+                         "large to compile monolithically)")
     args = ap.parse_args()
 
     import jax
@@ -82,8 +85,30 @@ def main():
     # dispatch-loop stepping: async dispatch per step, block once at the end
     # (measured ~8x faster than a lax.scan rollout on the axon TPU runtime)
     from cityflow_tpu.core import step as step_mod
-    step_b = jax.jit(jax.vmap(
-        lambda s: step_mod.step.__wrapped__(net_dev, cfg, s, spawn_dev)))
+    if args.split_phases:
+        def one(s):
+            s, arr, fa, ia = step_mod.step_part1.__wrapped__(
+                net_dev, cfg, s, spawn_dev)
+            buf, ov = step_mod.step_part2.__wrapped__(
+                net_dev, cfg, s, arr, fa, ia)
+            return step_mod.step_part3.__wrapped__(net_dev, cfg, s, arr,
+                                                   buf, ov)
+        p1 = jax.jit(jax.vmap(lambda s: step_mod.step_part1.__wrapped__(
+            net_dev, cfg, s, spawn_dev)))
+        p2 = jax.jit(jax.vmap(lambda s, arr, fa, ia:
+                              step_mod.step_part2.__wrapped__(
+                                  net_dev, cfg, s, arr, fa, ia)))
+        p3 = jax.jit(jax.vmap(lambda s, arr, buf, ov:
+                              step_mod.step_part3.__wrapped__(
+                                  net_dev, cfg, s, arr, buf, ov)))
+
+        def step_b(s):
+            s, arr, fa, ia = p1(s)
+            buf, ov = p2(s, arr, fa, ia)
+            return p3(s, arr, buf, ov)
+    else:
+        step_b = jax.jit(jax.vmap(
+            lambda s: step_mod.step.__wrapped__(net_dev, cfg, s, spawn_dev)))
     for _ in range(args.warmup):
         state = step_b(state)
     state = jax.block_until_ready(state)

@@ -1018,3 +1018,55 @@ def step(net: Dict[str, Any], cfg: StepConfig, st: SimState, spawn_tbl):
     st = st.replace_fields(step=st.step + 1,
                            overflow=st.overflow | ov.astype(jnp.int32))
     return st
+
+
+# ---------------------------------------------------------------------------
+# phase-split step: three separately-jitted sub-programs. Identical semantics
+# to step(); used for very large nets where one monolithic program exceeds
+# practical XLA compile budgets — each part compiles (and persists in the
+# compilation cache) independently.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def step_part1(net, cfg: StepConfig, st: SimState, spawn_tbl):
+    st = spawn_vehicles(net, cfg, st, spawn_tbl)
+    arr_prev = dict(last_of=st.last_of_drv)
+    st, arr, fattrs, iattrs = admit_waiting(net, cfg, st, arr_prev)
+    if cfg.lane_change:
+        from cityflow_tpu.core import lanechange as lc_mod
+        st = lc_mod.plan_lane_change(net, cfg, st, arr)
+        cyc = blocker_cycles(cfg, st.blocker)
+        fattrs, iattrs = build_attr_packs(cfg, st, cyc)
+        st, arr = update_leader_and_gap(net, cfg, st, fattrs, iattrs)
+    return st, arr, fattrs, iattrs
+
+
+@partial(jax.jit, static_argnums=(1,))
+def step_part2(net, cfg: StepConfig, st: SimState, arr, fattrs, iattrs):
+    ll_avail = lanelink_available(net, cfg, st)
+    veh_next, _ = chain_step(net, cfg, st.route, st.route_pos, st.drv)
+    notify_foe = notify_cross(net, cfg, st, arr, veh_next, ll_avail,
+                              fattrs, iattrs)
+    buf, ov_hop = get_action(net, cfg, st, arr, veh_next, ll_avail,
+                             notify_foe)
+    return buf, ov_hop
+
+
+@partial(jax.jit, static_argnums=(1,))
+def step_part3(net, cfg: StepConfig, st: SimState, arr, buf, ov_hop):
+    st, removed = update_location(net, cfg, st, arr, buf)
+    st = commit(net, cfg, st, buf, removed)
+    st, _arr2 = update_leader_and_gap(net, cfg, st)
+    if not cfg.rl_traffic_light:
+        st = pass_time(net, cfg, st)
+    ov = jnp.where(ov_hop, OV_HOPS, 0) | jnp.where(
+        arr["overflow_link"], OV_LINK_TABLE, 0)
+    return st.replace_fields(step=st.step + 1,
+                             overflow=st.overflow | ov.astype(jnp.int32))
+
+
+def step_split(net, cfg: StepConfig, st: SimState, spawn_tbl):
+    """step() as three jit calls (see above)."""
+    st, arr, fattrs, iattrs = step_part1(net, cfg, st, spawn_tbl)
+    buf, ov_hop = step_part2(net, cfg, st, arr, fattrs, iattrs)
+    return step_part3(net, cfg, st, arr, buf, ov_hop)
