@@ -77,3 +77,17 @@ def test_fast_tracks_exact():
     d_e = np.asarray(st_e.dis)[both]
     d_f = np.asarray(st_f.dis)[both]
     assert np.median(np.abs(d_e - d_f)) < 0.5
+
+
+def test_split_phases_equal_monolithic():
+    import jax
+    import numpy as np
+    from cityflow_tpu.core import step as S
+    nd, cfg, st0, spawn = _build(exact=False)
+    a = b = st0
+    for _ in range(40):
+        a = S.step(nd, cfg, a, spawn)
+        b = S.step_split(nd, cfg, b, spawn)
+    for f in ("dis", "speed", "drv", "running", "leader", "gap", "phase"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
