@@ -32,9 +32,12 @@ def main():
                     help="reference C++ 1-thread steps/s on this scenario")
     ap.add_argument("--k-scan", type=int, default=6)
     ap.add_argument("--k-hop", type=int, default=4)
-    ap.add_argument("--split-phases", action="store_true",
-                    help="three separately-jitted sub-programs (for nets too "
-                         "large to compile monolithically)")
+    ap.add_argument("--split-phases", action="store_true", default=None,
+                    help="three separately-jitted sub-programs; default: "
+                         "auto (on for nets with >2000 lanelinks, where the "
+                         "monolithic program schedules poorly)")
+    ap.add_argument("--no-split-phases", dest="split_phases",
+                    action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +88,8 @@ def main():
     # dispatch-loop stepping: async dispatch per step, block once at the end
     # (measured ~8x faster than a lax.scan rollout on the axon TPU runtime)
     from cityflow_tpu.core import step as step_mod
+    if args.split_phases is None:
+        args.split_phases = net.num_links > 2000
     if args.split_phases:
         def one(s):
             s, arr, fa, ia = step_mod.step_part1.__wrapped__(
@@ -95,16 +100,20 @@ def main():
                                                    buf, ov)
         p1 = jax.jit(jax.vmap(lambda s: step_mod.step_part1.__wrapped__(
             net_dev, cfg, s, spawn_dev)))
-        p2 = jax.jit(jax.vmap(lambda s, arr, fa, ia:
-                              step_mod.step_part2.__wrapped__(
-                                  net_dev, cfg, s, arr, fa, ia)))
+        p2a = jax.jit(jax.vmap(lambda s, arr, fa, ia:
+                               step_mod.step_part2a.__wrapped__(
+                                   net_dev, cfg, s, arr, fa, ia)))
+        p2b = jax.jit(jax.vmap(lambda s, arr, la, vn, nf:
+                               step_mod.step_part2b.__wrapped__(
+                                   net_dev, cfg, s, arr, la, vn, nf)))
         p3 = jax.jit(jax.vmap(lambda s, arr, buf, ov:
                               step_mod.step_part3.__wrapped__(
                                   net_dev, cfg, s, arr, buf, ov)))
 
         def step_b(s):
             s, arr, fa, ia = p1(s)
-            buf, ov = p2(s, arr, fa, ia)
+            la, vn, nf = p2a(s, arr, fa, ia)
+            buf, ov = p2b(s, arr, la, vn, nf)
             return p3(s, arr, buf, ov)
     else:
         step_b = jax.jit(jax.vmap(

@@ -1053,6 +1053,21 @@ def step_part2(net, cfg: StepConfig, st: SimState, arr, fattrs, iattrs):
 
 
 @partial(jax.jit, static_argnums=(1,))
+def step_part2a(net, cfg: StepConfig, st: SimState, arr, fattrs, iattrs):
+    ll_avail = lanelink_available(net, cfg, st)
+    veh_next, _ = chain_step(net, cfg, st.route, st.route_pos, st.drv)
+    notify_foe = notify_cross(net, cfg, st, arr, veh_next, ll_avail,
+                              fattrs, iattrs)
+    return ll_avail, veh_next, notify_foe
+
+
+@partial(jax.jit, static_argnums=(1,))
+def step_part2b(net, cfg: StepConfig, st: SimState, arr, ll_avail, veh_next,
+                notify_foe):
+    return get_action(net, cfg, st, arr, veh_next, ll_avail, notify_foe)
+
+
+@partial(jax.jit, static_argnums=(1,))
 def step_part3(net, cfg: StepConfig, st: SimState, arr, buf, ov_hop):
     st, removed = update_location(net, cfg, st, arr, buf)
     st = commit(net, cfg, st, buf, removed)
