@@ -58,3 +58,24 @@ def test_lane_change_shadows_appear_and_finish():
     assert int(eng.state.overflow) == 0
     # shadows must never be reported by the real-vehicle API
     assert not any(v.endswith("_shadow") for v in eng.get_vehicles())
+
+
+@pytest.mark.slow
+def test_lane_change_grid_aggregates():
+    """2x2 grid with laneChange: multi-intersection LC aggregate tracking."""
+    from cityflow_tpu.engine import Engine
+    gold = json.load(open(os.path.join(HERE, "goldens",
+                                       "grid2x2_lc_400_agg.json")))
+    eng = Engine(os.path.join(HERE, "fixtures", "config_2x2_lc.json"))
+    cnt_diffs = []
+    att_rel = 0.0
+    for t, g_cnt, g_att in gold[:400]:
+        eng.next_step()
+        cnt_diffs.append(abs(eng.get_vehicle_count() - g_cnt))
+        if t > 100:
+            att_rel = max(att_rel,
+                          abs(eng.get_average_travel_time() - g_att) / g_att)
+    mean_diff = sum(cnt_diffs) / len(cnt_diffs)
+    assert mean_diff <= 0.05 * max(g[1] for g in gold) + 5, \
+        (mean_diff, max(cnt_diffs))
+    assert att_rel < 0.10, att_rel
