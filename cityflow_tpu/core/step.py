@@ -504,77 +504,84 @@ def notify_cross(net, cfg: StepConfig, st: SimState, arr, veh_next, ll_avail,
     first_next = gat(veh_next, first_slot)
     start_len = gat(net["drv_len"], net["ll_start"]).astype(f)
 
-    NEG = jnp.asarray(-1e30, f)
-    best_v = jnp.full((LL, KC), -1, jnp.int32)
-    best_p = jnp.full((LL, KC), NEG, f)
+    # --- winner selection: candidates stacked along a K2 = k_link + 2 axis
+    # [end-lane special, k_link on-link slots, start-lane special]. The chain
+    # carries only cheap channels; the 10-channel float bundle is fetched by
+    # a one-hot einsum (single MXU matmul, exact: one term each). Everything
+    # runs in (KC, LL) layout — LL as the minor dim tiles the VPU lanes
+    # (KC ~ 20 would waste >80% of each vector register).
     NA = fA.shape[2]
-    best_fa = jnp.zeros((LL, KC, NA), f)
-    best_ia = jnp.zeros((LL, KC, 2), jnp.int32)
+    K2 = cfg.k_link + 2
+    NEG = jnp.asarray(-1e30, f)
+    d_t = d.T                                                     # (KC,LL)
 
-    def consider(v, pv, el, cfa, cia):
-        nonlocal best_v, best_p, best_fa, best_ia
-        better = el & (pv > best_p)
-        best_v = jnp.where(better, v, best_v)
-        best_p = jnp.where(better, pv, best_p)
-        best_fa = jnp.where(better[..., None], cfa, best_fa)
-        best_ia = jnp.where(better[..., None], cia, best_ia)
+    fa_stack = jnp.concatenate(
+        [last_fa[:, None, :], fA, first_fa[:, None, :]], axis=1)  # (LL,K2,NA)
+    p_stack = jnp.concatenate(
+        [(ll_len + last_fa[:, A_DIS])[:, None],
+         fA[:, :, A_DIS],
+         (-(start_len - first_fa[:, A_DIS]))[:, None]], axis=1)   # (LL,K2)
+    v_stack = jnp.concatenate(
+        [last_slot[:, None], lv, first_slot[:, None]], axis=1)
+    ia_stack = jnp.concatenate(
+        [last_ia[:, None, :], iA, first_ia[:, None, :]], axis=1)
 
-    # end-lane rear vehicle still clearing the link (engine.cpp:330-341)
     l_drv = L + jnp.arange(LL, dtype=jnp.int32)
-    ev_ok = ((last_slot >= 0)
-             & (last_fa[:, A_PREV].astype(jnp.int32) == l_drv))[:, None]
-    p_e = (ll_len + last_fa[:, A_DIS])[:, None]
-    t_e = p_e - last_fa[:, A_LEN][:, None]
-    consider(jnp.broadcast_to(last_slot[:, None], (LL, KC)), 
-             jnp.broadcast_to(p_e, (LL, KC)),
-             ev_ok & (t_e < d),
-             jnp.broadcast_to(last_fa[:, None, :], (LL, KC, NA)),
-             jnp.broadcast_to(last_ia[:, None, :], (LL, KC, 2)))
-    # vehicles on the link (engine.cpp:343-359): pure slices
-    for k in range(cfg.k_link):
-        cfa = fA[:, k, :]                          # (LL,NA) slice
-        pv = cfa[:, A_DIS][:, None]
-        tv = pv - cfa[:, A_LEN][:, None]
-        consider(jnp.broadcast_to(lv[:, k][:, None], (LL, KC)),
-                 jnp.broadcast_to(pv, (LL, KC)),
-                 (lv[:, k] >= 0)[:, None] & (tv <= d),
-                 jnp.broadcast_to(cfa[:, None, :], (LL, KC, NA)),
-                 jnp.broadcast_to(iA[:, k, :][:, None, :], (LL, KC, 2)))
-    # start-lane head approaching an available link (engine.cpp:361-369)
-    sv_ok = ((first_slot >= 0)
-             & (first_next == l_drv)
-             & ll_avail)[:, None]
-    p_s = (-(start_len - first_fa[:, A_DIS]))[:, None]
-    consider(jnp.broadcast_to(first_slot[:, None], (LL, KC)),
-             jnp.broadcast_to(p_s, (LL, KC)),
-             jnp.broadcast_to(sv_ok, (LL, KC)),
-             jnp.broadcast_to(first_fa[:, None, :], (LL, KC, NA)),
-             jnp.broadcast_to(first_ia[:, None, :], (LL, KC, 2)))
+    # per-candidate eligibility (engine.cpp:330-369), evaluated lazily per k
+    e_ok = (last_slot >= 0) & (last_fa[:, A_PREV].astype(jnp.int32) == l_drv)
+    t_e = ll_len + last_fa[:, A_DIS] - last_fa[:, A_LEN]
+    tails = fA[:, :, A_DIS] - fA[:, :, A_LEN]                     # (LL,K)
+    s_ok = (first_slot >= 0) & (first_next == l_drv) & ll_avail
 
-    ndist = d - best_p
+    best_p = jnp.full((KC, LL), NEG, f)
+    best_k = jnp.zeros((KC, LL), jnp.int32)
+    best_v = jnp.full((KC, LL), -1, jnp.int32)
+    best_ent = jnp.zeros((KC, LL), jnp.int32)
+    best_pri = jnp.zeros((KC, LL), jnp.int32)
+    for k in range(K2):
+        if k == 0:
+            el = e_ok[None, :] & (t_e[None, :] < d_t)
+        elif k == K2 - 1:
+            el = jnp.broadcast_to(s_ok[None, :], (KC, LL))
+        else:
+            el = (lv[:, k - 1] >= 0)[None, :] \
+                & (tails[:, k - 1][None, :] <= d_t)
+        pk = p_stack[:, k][None, :]
+        better = el & (pk > best_p)
+        best_p = jnp.where(better, pk, best_p)
+        best_k = jnp.where(better, k, best_k)
+        best_v = jnp.where(better, v_stack[:, k][None, :], best_v)
+        best_ent = jnp.where(better, ia_stack[:, k, 0][None, :], best_ent)
+        best_pri = jnp.where(better, ia_stack[:, k, 1][None, :], best_pri)
+    oh = jax.nn.one_hot(best_k, K2, dtype=f)                      # (KC,LL,K2)
+    best_fa = jnp.einsum("clk,lkn->cln", oh, fa_stack)            # (KC,LL,NA)
+    best_ia = jnp.stack([best_ent, best_pri], axis=-1)
+
+    ndist = d_t - best_p
     # own-side derived fields (Cross::canPass foe terms, roadnet.cpp:604-660)
     n_exists = best_v >= 0
     n_yield = can_yield(best_fa[..., A_SPEED], best_fa[..., A_MAXNEG],
                         best_fa[..., A_YIELD], best_fa[..., A_LEN], ndist)
-    is_turn = net["ll_is_turn"][:, None]
+    is_turn = net["ll_is_turn"][None, :]
     n_target = jnp.where(is_turn, best_fa[..., A_TURNSPD],
                          best_fa[..., A_MAXSPD])
     n_reach = reach_steps(best_fa[..., A_SPEED], ndist, n_target,
                           best_fa[..., A_UPA], dt)
     n_cleared = ndist + best_fa[..., A_LEN] < 0
 
-    # permute to the FOE side: two flat static-index row gathers (floats and
-    # ints separately — INT_MAX must not round-trip through f32)
+    # permute to the FOE side: transpose back to link-major once, then two
+    # flat static-index row gathers (floats and ints separately — INT_MAX
+    # must not round-trip through f32)
     fpackd = jnp.stack([
         jnp.where(n_exists, 1.0, 0.0).astype(f),
         jnp.where(n_yield, 1.0, 0.0).astype(f),
         jnp.where(n_cleared, 1.0, 0.0).astype(f),
         best_fa[..., A_CYC],
         jnp.where(ndist > 0, 1.0, 0.0).astype(f),
-        ndist], axis=-1).reshape(LL * KC, 6)
+        ndist], axis=-1).swapaxes(0, 1).reshape(LL * KC, 6)
     ipackd = jnp.stack([
-        n_reach, best_ia[..., 0], best_ia[..., 1], best_v],
-        axis=-1).reshape(LL * KC, 4)
+        n_reach, best_ent, best_pri, best_v],
+        axis=-1).swapaxes(0, 1).reshape(LL * KC, 4)
     pos = net["lnk_cross_foe_pos"].reshape(-1)
     foe = fpackd[pos].reshape(LL, KC, 6)
     ifoe = ipackd[pos].reshape(LL, KC, 4)
