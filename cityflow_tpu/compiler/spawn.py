@@ -87,7 +87,30 @@ class SpawnGenerator:
         # each consumes priority+thread draws at push time and a first-lane
         # draw in the next planRoute, exactly like a flow spawn
         self.manuals = []        # (inject_step, road, flow_idx, route, cands, serial)
-        self._stream_dirty = False  # reset/reseed happened: cannot replay
+        self._set_origin(0)
+
+    def _set_origin(self, step: int):
+        """Record the earliest point the stream can be replayed from: the RNG
+        state, flow timing state and already-emitted rows at `step`. Rows
+        before a mid-run reseed / reset(resetRnd=false) come from a stream
+        whose seed basis is gone, so replays (inject_manual, Archive restore)
+        start here instead of from scratch."""
+        self._origin = dict(
+            step=step,
+            rng=self.rng.get_state(),
+            drawn=set(self.drawn),
+            fs=self.fs.copy(),
+            cols={k: list(v) for k, v in self._cols.items()},
+            manuals=list(self.manuals))
+
+    def _rewind_to_origin(self):
+        o = self._origin
+        self.rng.set_state(o["rng"])
+        self.drawn = set(o["drawn"])
+        self.fs = o["fs"].copy()
+        self._cols = {k: list(v) for k, v in o["cols"].items()}
+        self.next_step = o["step"]
+        self._arrays = None
 
     # -- mt19937 draw helpers -------------------------------------------------
     def _draw_priority(self) -> int:
@@ -173,22 +196,28 @@ class SpawnGenerator:
         self._arrays = None
 
     # -- stream-semantics operations -------------------------------------------
-    def reset_flows(self, reseed_to: int = None):
+    def reset_flows(self, reseed_to: int = None, current_step: int = 0):
         """Engine::reset: flows reset (flow.cpp reset), rows cleared; the RNG
-        stream continues unless reseed_to is given (engine.cpp:744-760)."""
+        stream continues unless reseed_to is given (engine.cpp:744-760).
+
+        The reference RNG at reset time has consumed draws only for steps
+        [0, current_step); this generator pre-consumed up to `next_step`
+        (the horizon). For the continuing-stream case, replay from the origin
+        up to current_step to recover the true stream state."""
+        if reseed_to is not None:
+            self.rng = MT19937(reseed_to)
+            self.drawn = set()
+            self._base_seed = reseed_to
+        else:
+            self._rewind_to_origin()
+            self.extend(current_step)     # rng now == reference state at reset
         self.fs = FlowRuntime.fresh(self.net)
         self.next_step = 0
         for c in self._cols.values():
             c.clear()
         self._arrays = None
         self.manuals = []
-        if reseed_to is not None:
-            self.rng = MT19937(reseed_to)
-            self.drawn = set()
-            self._stream_dirty = False
-            self._base_seed = reseed_to
-        else:
-            self._stream_dirty = True
+        self._set_origin(0)
 
     def reseed(self, seed: int, current_step: int):
         """Engine::setRandomSeed mid-run: future draws come from the new
@@ -196,7 +225,6 @@ class SpawnGenerator:
         (step < current_step) are kept; later rows are regenerated."""
         self.rng = MT19937(seed)
         self.drawn = set()
-        self._stream_dirty = True
         keep = [k for k, s in enumerate(self._cols["step"]) if s < current_step]
         if len(keep) != len(self._cols["step"]):
             for name in self._cols:
@@ -221,28 +249,66 @@ class SpawnGenerator:
                 fs.current_time[i] += self.interval
         self.next_step = current_step
         self._arrays = None
+        # the pre-reseed draw basis is gone: future replays start here
+        self.manuals = [m for m in self.manuals if m[0] < current_step]
+        self._set_origin(current_step)
 
     def inject_manual(self, step: int, road: int, flow_idx: int,
                       route_id: int, cand_lanes, serial: int):
         """Engine::pushVehicle between steps: rows from `step` onward are
-        regenerated with the manual vehicle's draws interleaved. Requires a
-        replayable stream (no reset(resetRnd=False)/mid-run reseed before)."""
-        if self._stream_dirty:
-            raise NotImplementedError(
-                "push_vehicle after reset(resetRnd=False) or a mid-run "
-                "set_random_seed is not supported by the host RNG replay")
+        regenerated from the stream origin with the manual vehicle's draws
+        interleaved (works after reset(resetRnd=false) and mid-run reseeds —
+        the origin tracks the last non-replayable stream boundary)."""
         horizon = self.next_step
         self.manuals.append((step, road, flow_idx, route_id,
                              list(cand_lanes), serial))
-        # replay everything from scratch (deterministic)
-        self.rng = MT19937(self._base_seed)
-        self.drawn = set()
-        self.fs = FlowRuntime.fresh(self.net)
-        self.next_step = 0
-        for c in self._cols.values():
-            c.clear()
-        self._arrays = None
+        self._rewind_to_origin()
         self.extend(max(horizon, step + 2))
+
+    # -- snapshot / restore (Archive, reference archive.cpp:161-165) -----------
+    def snapshot_state(self) -> dict:
+        """Everything needed to rebuild this generator in a FRESH engine:
+        the replay origin (RNG state, flow timing, rows already emitted
+        before the origin) plus the manual-push list and horizon. The
+        serialized RNG matches the reference's mt19937 operator<< dump."""
+        o = self._origin
+        rng_o = MT19937.__new__(MT19937)
+        rng_o.set_state(o["rng"])
+        return dict(
+            origin_step=o["step"],
+            origin_rng=rng_o.serialize(),
+            origin_drawn=[int(x) for x in o["drawn"]],
+            origin_fs=dict(now_time=o["fs"].now_time.copy(),
+                           current_time=o["fs"].current_time.copy(),
+                           cnt=o["fs"].cnt.copy(),
+                           alive=o["fs"].alive.copy()),
+            origin_cols={k: list(v) for k, v in o["cols"].items()},
+            manuals=[list(m[:4]) + [list(m[4]), m[5]] for m in self.manuals],
+            next_step=self.next_step,
+            max_per_step=self.max_per_step,
+            base_seed=self._base_seed)
+
+    def restore_state(self, snap: dict):
+        rng = MT19937.deserialize(snap["origin_rng"])
+        # np.array (not asarray): extend() mutates fs in place, and `snap` may
+        # be a live Archive's dict that must survive repeated loads
+        fs = FlowRuntime(
+            now_time=np.array(snap["origin_fs"]["now_time"], np.float64),
+            current_time=np.array(snap["origin_fs"]["current_time"], np.float64),
+            cnt=np.array(snap["origin_fs"]["cnt"], np.int64),
+            alive=np.array(snap["origin_fs"]["alive"], bool))
+        self.rng = rng
+        self.drawn = set(int(x) for x in snap["origin_drawn"])
+        self.fs = fs
+        self._cols = {k: list(v) for k, v in snap["origin_cols"].items()}
+        self.next_step = int(snap["origin_step"])
+        self.manuals = [(int(m[0]), int(m[1]), int(m[2]), int(m[3]),
+                         list(m[4]), int(m[5])) for m in snap["manuals"]]
+        self._base_seed = snap.get("base_seed", self._base_seed)
+        self._arrays = None
+        self._set_origin(int(snap["origin_step"]))
+        self.max_per_step = int(snap.get("max_per_step", 1))
+        self.extend(int(snap["next_step"]))
 
     # -- table access -----------------------------------------------------------
     def arrays(self):

@@ -202,6 +202,7 @@ class Engine:
             vals = jax.device_get([getattr(st, n) for n in names])
             self._cache = dict(zip(names, vals))
             self._fetched_step = key
+            self._id_map = None       # lazy per-fetch id -> slot index
         return self._cache
 
     def _veh_id(self, uid: int) -> str:
@@ -213,11 +214,15 @@ class Engine:
         return f"flow_{t['flow'][uid]}_{t['cnt'][uid]}"
 
     def _id_to_slot(self, vid: str) -> Optional[int]:
+        """O(1) id lookup via a per-fetch id->slot map (the reference keeps a
+        std::map of the vehicle pool, engine.cpp:615-630; rebuilding per
+        fetched step keeps every query O(1) instead of O(N) string scans)."""
         c = self._fetch()
-        for slot in np.nonzero(c["active"])[0]:
-            if self._veh_id(int(c["uid"][slot])) == vid:
-                return int(slot)
-        return None
+        if getattr(self, "_id_map", None) is None:
+            self._id_map = {
+                self._veh_id(int(c["uid"][slot])): int(slot)
+                for slot in np.nonzero(c["active"])[0]}
+        return self._id_map.get(vid)
 
     def _lane_order(self, c):
         """Front-to-back per-drivable vehicle order (distance desc, list_seq)."""
@@ -237,11 +242,13 @@ class Engine:
     def reset(self, seed: bool = False):
         """reference Engine::reset (engine.cpp:744-760): flows and state
         reset; the mt19937 stream continues unless resetRnd."""
+        cur = int(self.state.step)
         self.state = self._fresh_state()
         self._pushed_ids.clear()
         self._manually_pushed = 0
         self._fetched_step = -1
-        self._spawn.reset_flows(reseed_to=self.seed if seed else None)
+        self._spawn.reset_flows(reseed_to=self.seed if seed else None,
+                                current_step=cur)
         self._spawn.extend(self._spawn_horizon)
         self._upload_spawn()
         return None
@@ -522,13 +529,25 @@ class Engine:
         self._replay.flush()
 
     def snapshot(self) -> Archive:
+        """reference Archive(engine) (archive.cpp:9-37): device state plus the
+        full spawn/RNG stream state (archive.cpp:161-165 serializes the
+        mt19937; ours snapshots the replay origin + manual pushes)."""
         return Archive(self.state, dict(pushed=self._pushed_ids,
-                                        manually_pushed=self._manually_pushed))
+                                        manually_pushed=self._manually_pushed,
+                                        spawn=self._spawn.snapshot_state()))
 
     def load(self, archive: Archive):
         self.state = archive.state
         self._pushed_ids = copy.deepcopy(archive.host_aux["pushed"])
         self._manually_pushed = archive.host_aux["manually_pushed"]
+        if "spawn" in archive.host_aux:
+            self._spawn.restore_state(archive.host_aux["spawn"])
+            self._spawn.extend(max(self._spawn.next_step,
+                                   int(self.state.step) + 2))
+            self._upload_spawn()
+            if self._spawn.max_per_step > self.cfg.max_spawn_per_step:
+                self.cfg = dc_replace(
+                    self.cfg, max_spawn_per_step=self._spawn.max_per_step)
         self._fetched_step = -1
 
     def load_from_file(self, path: str):

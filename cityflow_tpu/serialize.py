@@ -25,15 +25,27 @@ def _dec(e):
                          dtype=np.dtype(e["t"])).reshape(e["s"])
 
 
+def _spawn_jsonable(snap: dict) -> dict:
+    out = dict(snap)
+    out["origin_fs"] = {k: np.asarray(v).tolist()
+                        for k, v in snap["origin_fs"].items()}
+    return out
+
+
 def dump_archive(archive, path: str):
     leaves, treedef = jax.tree_util.tree_flatten(archive.state)
     doc = {
-        "format": "cityflow_tpu/archive/v1",
+        "format": "cityflow_tpu/archive/v2",
         "leaves": [_enc(l) for l in leaves],
         "host_aux": {"pushed": {str(k): v for k, v in
                                 archive.host_aux["pushed"].items()},
                      "manually_pushed": archive.host_aux["manually_pushed"]},
     }
+    # v2: the spawn/RNG stream state (reference archive.cpp:161-165 dumps the
+    # mt19937 via operator<<; origin_rng below is that same text format), so
+    # a dump restores into a FRESH engine even after mid-run reseeds/pushes
+    if "spawn" in archive.host_aux:
+        doc["spawn"] = _spawn_jsonable(archive.host_aux["spawn"])
     with open(path, "w") as f:
         json.dump(doc, f)
 
@@ -43,7 +55,8 @@ def load_archive_into(engine, path: str):
     from dataclasses import replace as dc_replace
     with open(path) as f:
         doc = json.load(f)
-    assert doc["format"] == "cityflow_tpu/archive/v1"
+    assert doc["format"] in ("cityflow_tpu/archive/v1",
+                             "cityflow_tpu/archive/v2")
     leaves, treedef = jax.tree_util.tree_flatten(engine.state)
     new_leaves = [jnp.asarray(_dec(e)) for e in doc["leaves"]]
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
@@ -53,4 +66,6 @@ def load_archive_into(engine, path: str):
         engine.cfg = dc_replace(engine.cfg, max_vehicles=v_loaded)
     aux = {"pushed": {int(k): v for k, v in doc["host_aux"]["pushed"].items()},
            "manually_pushed": doc["host_aux"]["manually_pushed"]}
+    if "spawn" in doc:
+        aux["spawn"] = doc["spawn"]
     engine.load(Archive(state, aux))

@@ -62,3 +62,54 @@ def test_disk_roundtrip(tmp_path):
     eng.load_from_file(path)
     rec2 = _run_and_record(eng, 30)
     assert rec1 == rec2
+
+
+def test_cross_engine_restore_after_reseed_and_push(tmp_path):
+    """A dump taken after a mid-run set_random_seed + push_vehicle must
+    restore into a FRESH engine and replay the exact same future stream
+    (reference archive.cpp:153-177 serializes the mt19937 so archives are
+    engine-independent)."""
+    from cityflow_tpu.engine import Engine
+    eng = Engine(CONFIG)
+    for _ in range(20):
+        eng.next_step()
+    eng.set_random_seed(2023)           # kills the original seed basis
+    for _ in range(10):
+        eng.next_step()
+    eng.push_vehicle({"maxSpeed": 12.0},
+                     ["road_0_1_0", "road_1_1_0"])
+    for _ in range(5):
+        eng.next_step()
+    path = str(tmp_path / "arch_cross.json")
+    eng.snapshot().dump(path)
+    rec1 = _run_and_record(eng, 40)
+    ids1 = eng.get_vehicles(include_waiting=True)
+
+    fresh = Engine(CONFIG)
+    fresh.load_from_file(path)
+    rec2 = _run_and_record(fresh, 40)
+    ids2 = fresh.get_vehicles(include_waiting=True)
+    assert rec1 == rec2
+    assert ids1 == ids2
+
+
+def test_push_after_continuing_reset(tmp_path):
+    """push_vehicle after reset(resetRnd=false): the RNG stream continues
+    across the reset (engine.cpp:744-760) and manual pushes interleave into
+    that continued stream — previously a NotImplementedError."""
+    from cityflow_tpu.engine import Engine
+    eng = Engine(CONFIG)
+    for _ in range(25):
+        eng.next_step()
+    eng.reset(False)
+    eng.push_vehicle({}, ["road_0_1_0", "road_1_1_0"])
+    rec1 = _run_and_record(eng, 30)
+    ids1 = eng.get_vehicles(include_waiting=True)
+    path = str(tmp_path / "arch_reset.json")
+    eng.snapshot().dump(path)
+
+    fresh = Engine(CONFIG)
+    fresh.load_from_file(path)
+    rec2 = _run_and_record(fresh, 20)
+    assert _run_and_record(eng, 20) == rec2
+    assert "manually_pushed_0" in ids1
