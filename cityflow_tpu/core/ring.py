@@ -1,0 +1,982 @@
+"""Gen-2 ring-layout step: vehicle attributes stored per-drivable.
+
+Same semantics as gen-1 fast mode (core/step.py) — each phase mirrors the
+reference (engine.cpp / vehicle.cpp / roadnet.cpp) through the gen-1
+function it replaces — but laid out for the TPU cost model measured in
+docs/design.md:
+
+  * per-drivable slot arrays, front slot first: leader = static shift,
+    admission = append, front exits = prefix shift-out (no sorts, no
+    slot-pool scatter tables);
+  * intersection-local operators (notify candidate maps, Cross::canPass
+    foe exchange, availability masks, lane<->link transfer routing) are
+    type-shared one-hot matrices applied with einsum (MXU) instead of
+    LL*KC-index dynamic gathers (measured 84x cheaper at 30x30 scale);
+  * the only dynamic-index work left is the per-transfer route-table
+    lookup, done on a compacted set of a few hundred rows, plus one
+    constant-index lane permutation per step (the in-lane view).
+
+Scope (checked at build time by compiler/ring_net.py): laneChange:false,
+uniform vehicle templates, lane lengths above the leader-scan bound —
+which covers every grid benchmark and the bundled example. Exact mode and
+the general case stay on the gen-1 path; aggregate equivalence against
+gen-1 is tested in tests/test_ring.py.
+
+Integer channels routed through f32 exchanges: priorities are carried as
+(hi, lo) 16-bit halves (exact in f32; reference compares them as signed
+ints, vehicle.cpp:33), enter times as min(t, 2^25) (f32-exact; only
+ordering matters, roadnet.cpp:646-654), uids/routes/flows are < 2^24.
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cityflow_tpu.core.state import (
+    INT_MAX, OV_SLOTS, OV_LINK_TABLE, OV_HOPS, OV_REMOVE)
+from cityflow_tpu.core.step import (
+    no_collision_speed, stop_before_speed, reach_steps, can_yield)
+
+P_SPEED, P_LEN, P_WIDTH, P_MAXPOSACC, P_MAXNEGACC, P_USUALPOSACC, \
+    P_USUALNEGACC, P_MINGAP, P_MAXSPEED, P_HEADWAY, P_YIELD, P_TURNSPEED = range(12)
+
+ENT_BIG = float(1 << 25)
+HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class RingConfig:
+    interval: float
+    I: int; G: int; T: int
+    LPI: int; OL: int; IL: int; KC: int; KIN: int; KOUT: int
+    LNp: int; LKp: int
+    SL: int = 16
+    SK: int = 10
+    AP: int = 2               # lane front slots computed in the link domain
+    XK: int = 2               # max front departures per drivable per step
+    SA: int = 4               # max appends per lane per step
+    TMAX: int = 512           # compacted transfer route-lookups per step
+    type_ranges: Tuple[Tuple[int, int], ...] = ()
+    params: Tuple[float, ...] = ()
+    rl_traffic_light: bool = False
+    k_phase: int = 8
+    k_cyc: int = 4
+    foe_via_perm: bool = True
+
+    @property
+    def dt(self):
+        return jnp.float32(self.interval)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["step", "finished_cnt", "cum_travel", "overflow",
+                      "n_l", "n_k", "el_cursor", "phase", "phase_remain",
+                      "blk",
+                      "l_dis", "l_speed", "l_flow", "l_route", "l_rpos",
+                      "l_nxt", "l_nxt3", "l_prev", "l_enter", "l_pri",
+                      "l_uid", "l_last", "l_custom", "l_hascustom",
+                      "k_dis", "k_speed", "k_flow", "k_route", "k_rpos",
+                      "k_entll", "k_enter", "k_pri", "k_uid", "k_nxtl",
+                      "k_custom", "k_hascustom"],
+         meta_fields=[])
+@dataclass
+class RingState:
+    step: Any
+    finished_cnt: Any
+    cum_travel: Any
+    overflow: Any
+    n_l: Any                  # (LNp,) i32 occupied lane slots (front prefix)
+    n_k: Any                  # (LKp,) i32
+    el_cursor: Any            # (EL,) i32 next spawn-queue row per entry lane
+    phase: Any                # (I,) i32 (ring intersection order)
+    phase_remain: Any         # (I,) f32
+    blk: Any                  # (LKp,) i32 blocker foe-lpi per link (-1)
+    l_dis: Any; l_speed: Any; l_flow: Any; l_route: Any; l_rpos: Any
+    l_nxt: Any; l_nxt3: Any; l_prev: Any; l_enter: Any; l_pri: Any
+    l_uid: Any; l_last: Any; l_custom: Any; l_hascustom: Any
+    k_dis: Any; k_speed: Any; k_flow: Any; k_route: Any; k_rpos: Any
+    k_entll: Any; k_enter: Any; k_pri: Any; k_uid: Any; k_nxtl: Any
+    k_custom: Any; k_hascustom: Any
+
+    def replace_fields(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
+    import numpy as np
+    f = jnp.float32
+    SL, SK, LNp, LKp = cfg.SL, cfg.SK, cfg.LNp, cfg.LKp
+    zl = lambda: jnp.zeros((SL, LNp), f)
+    il_ = lambda v=0: jnp.full((SL, LNp), v, jnp.int32)
+    zk = lambda: jnp.zeros((SK, LKp), f)
+    ik = lambda v=0: jnp.full((SK, LKp), v, jnp.int32)
+    n_ph = np.asarray(net["i_n_phases"])
+    off = np.asarray(net["i_phase_offset"])
+    pt = np.asarray(net["phase_time"])
+    first = pt[np.clip(off, 0, len(pt) - 1)]
+    remain = jnp.asarray(np.where(n_ph > 0, first, 0.0), f)
+    return RingState(
+        step=jnp.int32(0), finished_cnt=jnp.int32(0), cum_travel=f(0),
+        overflow=jnp.int32(0),
+        n_l=jnp.zeros(LNp, jnp.int32), n_k=jnp.zeros(LKp, jnp.int32),
+        el_cursor=jnp.zeros(num_entry, jnp.int32),
+        phase=jnp.zeros(cfg.I, jnp.int32), phase_remain=remain,
+        blk=jnp.full(LKp, -1, jnp.int32),
+        l_dis=zl(), l_speed=zl(), l_flow=il_(), l_route=il_(), l_rpos=il_(),
+        l_nxt=il_(-1), l_nxt3=il_(-1), l_prev=il_(-1), l_enter=zl(),
+        l_pri=il_(), l_uid=il_(-1), l_last=jnp.zeros((SL, LNp), bool),
+        l_custom=zl(), l_hascustom=jnp.zeros((SL, LNp), bool),
+        k_dis=zk(), k_speed=zk(), k_flow=ik(), k_route=ik(), k_rpos=ik(),
+        k_entll=ik(INT_MAX), k_enter=zk(), k_pri=ik(), k_uid=ik(-1),
+        k_nxtl=ik(-1), k_custom=zk(), k_hascustom=jnp.zeros((SK, LKp), bool))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _typed_mm(cfg, E, x):
+    """Per-type one-hot operator: E (T, A, B) applied to x (..., B, G)
+    column blocks -> (..., A, G). Runs on the MXU."""
+    outs = []
+    for t, (g0, g1) in enumerate(cfg.type_ranges):
+        outs.append(jnp.einsum("ab,...bg->...ag", E[t], x[..., g0:g1],
+                               precision=HI))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _sel_slot(oh, x):
+    return jnp.sum(jnp.where(oh, x, jnp.zeros_like(x)), axis=0)
+
+
+def _hilo(pri):
+    f = jnp.float32
+    return (pri >> 16).astype(f), (pri & 0xFFFF).astype(f)
+
+
+def _from_hilo(h, l):
+    return (h.astype(jnp.int32) << 16) | l.astype(jnp.int32)
+
+
+def _pri_gt(ah, al, bh, bl):
+    return (ah > bh) | ((ah == bh) & (al > bl))
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 4))
+def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
+    """One Engine::nextStep (engine.cpp:566-594) in ring layout;
+    `q` = per-entry-lane spawn queues (host mt19937 replay).
+    With debug=True also returns a dict of intermediates (tests only)."""
+    dbg = {}
+    f = jnp.float32
+    dt = cfg.dt
+    SL, SK, LNp, LKp = cfg.SL, cfg.SK, cfg.LNp, cfg.LKp
+    G, LPI, KC, IL, OL, AP = cfg.G, cfg.LPI, cfg.KC, cfg.IL, cfg.OL, cfg.AP
+    ov = rs.overflow
+
+    (p_speed0, p_len, p_width, p_maxpos, p_maxneg, p_upa, p_una,
+     p_mingap, p_maxspd, p_headway, p_yield, p_turnspd) = cfg.params
+    approach = p_maxspd * p_maxspd / p_una / 2 + p_maxspd * cfg.interval * 2
+
+    # =====================================================================
+    # 1. spawn + admission (Flow::nextStep + Engine::handleWaiting,
+    #    engine.cpp:502-516; gen-1 spawn_vehicles/admit_waiting)
+    # =====================================================================
+    el_lane = net["el_lane"]
+    EL = el_lane.shape[0]
+    QCAP = q["step"].shape[1]
+    cur = jnp.clip(rs.el_cursor, 0, QCAP - 1)
+    row = {k: jnp.take_along_axis(q[k], cur[:, None], axis=1)[:, 0]
+           for k in q}
+    has_row = (rs.el_cursor < QCAP) & (row["step"] >= 0) \
+        & (row["step"] <= rs.step)
+    n_e = jnp.take(rs.n_l, el_lane)
+    tail_flat = jnp.clip(n_e - 1, 0) * LNp + el_lane
+    t_dis = jnp.take(rs.l_dis.reshape(-1), tail_flat)
+    # Lane::available (roadnet.cpp:428-436)
+    avail_e = (n_e == 0) | (t_dis > p_len + p_mingap)
+    admit = has_row & avail_e & (n_e < SL)
+    ov = ov | jnp.where(jnp.any(has_row & avail_e & (n_e >= SL)),
+                        OV_SLOTS, 0).astype(jnp.int32)
+
+    tgt = jnp.where(admit, n_e * LNp + el_lane, SL * LNp)
+    ln_llocal = net["ln_llocal"]
+    rn = net["route_next"]
+    NR, RLEN, MAXLPR = rn.shape
+
+    def rn_at(route, pos, llocal):
+        fi = (jnp.clip(route, 0, NR - 1) * RLEN
+              + jnp.clip(pos, 0, RLEN - 1)) * MAXLPR \
+            + jnp.clip(llocal, 0, MAXLPR - 1)
+        return jnp.take(rn.reshape(-1), fi)
+
+    rt = jnp.clip(row["route"], 0, NR - 1)
+    nxt0 = rn_at(rt, 0, jnp.take(ln_llocal, el_lane))
+    end0 = jnp.take(net["lk_end_lane"], jnp.clip(nxt0 - LNp, 0, LKp - 1))
+    nxt3_0 = jnp.where(nxt0 >= 0,
+                       rn_at(rt, 1, jnp.take(ln_llocal, jnp.clip(end0, 0))),
+                       -1)
+    last0 = jnp.take(net["route_len"], rt) <= 1
+
+    def scat_l(a, v):
+        vv = jnp.broadcast_to(v, (EL,)).astype(a.dtype)
+        return a.reshape(-1).at[tgt].set(vv, mode="drop").reshape(SL, LNp)
+
+    rs = rs.replace_fields(
+        l_dis=scat_l(rs.l_dis, f(0)),
+        l_speed=scat_l(rs.l_speed, f(p_speed0)),
+        l_flow=scat_l(rs.l_flow, row["flow"]),
+        l_route=scat_l(rs.l_route, rt),
+        l_rpos=scat_l(rs.l_rpos, 0),
+        l_nxt=scat_l(rs.l_nxt, nxt0), l_nxt3=scat_l(rs.l_nxt3, nxt3_0),
+        l_prev=scat_l(rs.l_prev, -1),
+        l_enter=scat_l(rs.l_enter, rs.step.astype(f) * dt),
+        l_pri=scat_l(rs.l_pri, row["pri"]),
+        l_uid=scat_l(rs.l_uid, row["uid"]),
+        l_last=scat_l(rs.l_last, last0),
+        l_custom=scat_l(rs.l_custom, f(0)),
+        l_hascustom=scat_l(rs.l_hascustom, False),
+        n_l=rs.n_l.at[el_lane].add(admit.astype(jnp.int32)),
+        el_cursor=rs.el_cursor + admit.astype(jnp.int32))
+
+    # =====================================================================
+    # 2. views
+    # =====================================================================
+    sl_idx = jnp.arange(SL, dtype=jnp.int32)[:, None]
+    sk_idx = jnp.arange(SK, dtype=jnp.int32)[:, None]
+    occ_l = sl_idx < rs.n_l[None, :]
+    occ_k = sk_idx < rs.n_k[None, :]
+
+    # lane tail bundle (rear vehicle; link end-specials + canEnter)
+    oh_tail = sl_idx == (rs.n_l - 1)[None, :]
+    tl_dis = _sel_slot(oh_tail, rs.l_dis)
+    tl_prev = _sel_slot(oh_tail, rs.l_prev)
+    tl_speed = _sel_slot(oh_tail, rs.l_speed)
+    tl_prih, tl_pril = _hilo(_sel_slot(oh_tail, rs.l_pri))
+    tl_exists = rs.n_l > 0
+
+    # link ring tail (overlap-rule leader candidates)
+    oh_ktail = sk_idx == (rs.n_k - 1)[None, :]
+    kt_dis = _sel_slot(oh_ktail, rs.k_dis)
+    kt_speed = _sel_slot(oh_ktail, rs.k_speed)
+    kt_exists = rs.n_k > 0
+
+    # forward exchange: lane-front bundles -> (AP, IL, G) in-lane view.
+    # One constant-index row gather per step (the global lane permutation).
+    prih_l, pril_l = _hilo(rs.l_pri[:AP])
+    fch = [rs.l_dis[:AP], rs.l_speed[:AP],
+           rs.l_nxt[:AP].astype(f), rs.l_nxt3[:AP].astype(f),
+           rs.l_route[:AP].astype(f), rs.l_rpos[:AP].astype(f),
+           rs.l_flow[:AP].astype(f), prih_l, pril_l,
+           rs.l_uid[:AP].astype(f), rs.l_enter[:AP],
+           rs.l_custom[:AP], rs.l_hascustom[:AP].astype(f),
+           occ_l[:AP].astype(f)]
+    NFC = len(fch)
+    fwd = jnp.concatenate(
+        [jnp.stack(fch, axis=0).reshape(NFC * AP, LNp),
+         net["ln_len"][None, :], net["ln_maxspd"][None, :]], axis=0)
+    in_src = net["in_src"].reshape(-1)
+    src_ok = in_src >= 0
+    inl = jnp.take(fwd.T, jnp.clip(in_src, 0), axis=0).T
+    inl = jnp.where(src_ok[None, :], inl, 0.0).reshape(-1, IL, G)
+
+    def ap_ch(c):
+        return inl[c * AP:(c + 1) * AP]
+    h_dis = ap_ch(0); h_speed = ap_ch(1)
+    h_nxt = ap_ch(2).astype(jnp.int32); h_nxt3 = ap_ch(3).astype(jnp.int32)
+    h_route = ap_ch(4).astype(jnp.int32); h_rpos = ap_ch(5).astype(jnp.int32)
+    h_flow = ap_ch(6).astype(jnp.int32)
+    h_prih = ap_ch(7); h_pril = ap_ch(8)
+    h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
+    h_custom = ap_ch(11); h_hascustom = ap_ch(12) > 0
+    h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
+    il_len = inl[NFC * AP]
+    il_maxspd = inl[NFC * AP + 1]
+
+    # =====================================================================
+    # 3. link domain
+    # =====================================================================
+    ph_row = net["g_phase_offset"] + jnp.clip(rs.phase[:G], 0)
+    avail_rows = jnp.take(
+        net["phase_rl_avail"],
+        jnp.clip(ph_row, 0, net["phase_rl_avail"].shape[0] - 1), axis=0)
+    avail_lk = _typed_mm(cfg, net["E_rl"], avail_rows.T) > 0.5   # (LPI, G)
+
+    lk_id = (LNp + jnp.arange(LKp, dtype=jnp.int32)).reshape(LPI, G)
+    lk_len = net["lk_len"].reshape(LPI, G)
+    lk_turn = net["lk_turn"].reshape(LPI, G)
+
+    def Estart(x):
+        return _typed_mm(cfg, net["E_start"], x)
+
+    def Eend(x):
+        return _typed_mm(cfg, net["E_end"], x)
+
+    def ol_view(x):     # (LNp,) -> (OL, G): real inters lead the I axis
+        return x.reshape(OL, cfg.I)[:, :G]
+
+    end_tail_dis = Eend(ol_view(tl_dis))
+    end_tail_prev = Eend(ol_view(tl_prev.astype(f))).astype(jnp.int32)
+    end_tail_speed = Eend(ol_view(tl_speed))
+    end_tail_prih = Eend(ol_view(tl_prih))
+    end_tail_pril = Eend(ol_view(tl_pril))
+    end_tail_exists = Eend(ol_view(tl_exists.astype(f))) > 0.5
+
+    st_head_dis = Estart(h_dis[0])
+    st_head_nxt = Estart(h_nxt[0].astype(f)).astype(jnp.int32)
+    st_head_speed = Estart(h_speed[0])
+    st_head_prih = Estart(h_prih[0])
+    st_head_pril = Estart(h_pril[0])
+    st_head_occ = Estart(h_occ[0].astype(f)) > 0.5
+    st_len = Estart(il_len)
+
+    # ---- notify winners (Engine::threadNotifyCross, engine.cpp:317-372;
+    #      gen-1 notify_cross candidate chain) ----------------------------
+    d = net["lk_d"].reshape(KC, LPI, G)
+    cvalid = net["lk_cvalid"].reshape(KC, LPI, G)
+    kdis3 = rs.k_dis.reshape(SK, LPI, G)
+    kspd3 = rs.k_speed.reshape(SK, LPI, G)
+    kent3 = rs.k_entll.reshape(SK, LPI, G)
+    kpri3 = rs.k_pri.reshape(SK, LPI, G)
+    occ_k3 = occ_k.reshape(SK, LPI, G)
+    n_k3 = rs.n_k.reshape(LPI, G)
+
+    cnt = jnp.zeros((KC, LPI, G), jnp.int32)
+    for s in range(SK):
+        cnt = cnt + (occ_k3[s][None]
+                     & ((kdis3[s] - p_len)[None] > d)).astype(jnp.int32)
+    ring_hit = cnt < n_k3[None]
+
+    e_ok = end_tail_exists & (end_tail_prev == lk_id)
+    p_e = lk_len + end_tail_dis
+    t_e = p_e - p_len
+    e_elig = e_ok[None] & (t_e[None] < d)
+    s_ok = st_head_occ & (st_head_nxt == lk_id) & avail_lk
+    p_s = st_head_dis - st_len
+
+    w_p = jnp.zeros((KC, LPI, G), f)
+    w_speed = jnp.zeros((KC, LPI, G), f)
+    w_entf = jnp.zeros((KC, LPI, G), f)
+    w_prih = jnp.zeros((KC, LPI, G), f)
+    w_pril = jnp.zeros((KC, LPI, G), f)
+    for s in range(SK):
+        hit = ring_hit & (cnt == s)
+        w_p = jnp.where(hit, kdis3[s][None], w_p)
+        w_speed = jnp.where(hit, kspd3[s][None], w_speed)
+        w_entf = jnp.where(hit, jnp.minimum(kent3[s], 1 << 25).astype(f)[None],
+                           w_entf)
+        ph_, pl_ = _hilo(kpri3[s])
+        w_prih = jnp.where(hit, ph_[None], w_prih)
+        w_pril = jnp.where(hit, pl_[None], w_pril)
+    use_start = ~e_elig & ~ring_hit & s_ok[None]
+    w_p = jnp.where(use_start, p_s[None], w_p)
+    w_speed = jnp.where(use_start, st_head_speed[None], w_speed)
+    w_entf = jnp.where(use_start, f(ENT_BIG), w_entf)
+    w_prih = jnp.where(use_start, st_head_prih[None], w_prih)
+    w_pril = jnp.where(use_start, st_head_pril[None], w_pril)
+    w_p = jnp.where(e_elig, p_e[None], w_p)
+    w_speed = jnp.where(e_elig, end_tail_speed[None], w_speed)
+    w_entf = jnp.where(e_elig, f(ENT_BIG), w_entf)
+    w_prih = jnp.where(e_elig, end_tail_prih[None], w_prih)
+    w_pril = jnp.where(e_elig, end_tail_pril[None], w_pril)
+    exists = e_elig | ring_hit | use_start
+
+    ndist = d - w_p
+    n_yield = can_yield(w_speed, f(p_maxneg), f(p_yield), f(p_len), ndist)
+    n_target = jnp.where(lk_turn[None], f(p_turnspd), f(p_maxspd))
+    n_reach = reach_steps(w_speed, ndist, n_target, f(p_upa), dt)
+    n_cleared = ndist + p_len < 0
+
+    # blocker-cycle flag, link granularity (fast-mode stand-in for
+    # Cross::canPass Floyd cycle detection, roadnet.cpp:662-674; blocker
+    # edges never leave an intersection since every edge comes from one of
+    # its crosses). Pointer doubling via one-hot composition.
+    blk3 = rs.blk.reshape(LPI, G)
+    lpi_iota = jnp.arange(LPI, dtype=jnp.int32)[:, None, None]
+    fcur = blk3
+    for _ in range(cfg.k_cyc):
+        ohf = (fcur[None] == lpi_iota)                  # (LPIv, LPI, G)
+        f2 = jnp.einsum("vlg,vg->lg", ohf.astype(f), blk3.astype(f),
+                        precision=HI).astype(jnp.int32)
+        any_src = jnp.any(ohf, axis=0)
+        fcur = jnp.where((fcur >= 0) & any_src, f2, -1)
+    cyc_link = fcur >= 0
+
+    # ---- foe exchange (gen-1 lnk_cross_foe_pos permutation) -------------
+    fields = jnp.stack([
+        exists.astype(f), n_yield.astype(f), n_cleared.astype(f),
+        jnp.broadcast_to(cyc_link[None].astype(f), (KC, LPI, G)),
+        n_reach.astype(f), ndist, w_entf, w_prih, w_pril], axis=0)
+    NF = fields.shape[0]
+    if cfg.foe_via_perm:
+        x = fields.reshape(NF, KC * LPI, G)
+        outs = []
+        for t, (g0, g1) in enumerate(cfg.type_ranges):
+            outs.append(jnp.einsum("st,ctg->csg", net["foe_perm"][t],
+                                   x[:, :, g0:g1], precision=HI))
+        foe = jnp.concatenate(outs, axis=-1).reshape(NF, KC, LPI, G)
+    else:
+        flat = fields.reshape(NF, KC * LKp)
+        foe = jnp.take(flat, net["foe_gather"].reshape(-1),
+                       axis=1).reshape(NF, KC, LPI, G)
+    foe_exists = foe[0] > 0.5
+    foe_yield = foe[1] > 0.5
+    foe_cleared = foe[2] > 0.5
+    foe_cyc = foe[3] > 0.5
+    foe_reach = foe[4]
+    foe_dist = foe[5]
+    foe_ent = foe[6]
+    foe_ph, foe_plo = foe[7], foe[8]
+    foe_dpos = foe_dist > 0
+
+    # ---- per-row cross decisions (Cross::canPass, roadnet.cpp:604-660;
+    #      gen-1 get_action decision tree) --------------------------------
+    t1 = net["lk_type"].reshape(LPI, G)
+    t2 = net["lk_foetype"].reshape(KC, LPI, G)
+    foelpi = net["lk_foelpi"].reshape(KC, LPI, G)
+    kc_iota = jnp.arange(KC, dtype=jnp.int32)[:, None, None]
+
+    def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant):
+        d1 = d - dls[None]
+        self_yield = can_yield(speed[None], f(p_maxneg), f(p_yield),
+                               f(p_len), d1)
+        self_target = jnp.where(lk_turn, f(p_turnspd), f(p_maxspd))
+        sr = reach_steps(speed[None], d1, self_target[None], f(p_upa), dt)
+        fr = foe_reach
+        pri_win = _pri_gt(my_ph[None], my_plo[None], foe_ph, foe_plo)
+        same_rank_y = jnp.where(
+            fr > sr, -1, jnp.where(
+                fr < sr, 1, jnp.where(
+                    my_ent_f[None] == foe_ent,
+                    jnp.where(d1 == foe_dist,
+                              jnp.where(pri_win, -1, 1),
+                              jnp.where(d1 < foe_dist, -1, 1)),
+                    jnp.where(my_ent_f[None] < foe_ent, -1, 1))))
+        t_eq = jnp.where(foe_dpos, same_rank_y,
+                         jnp.where(foe_cleared, -1, 1))
+        t_lt_pre = jnp.where(foe_dpos, jnp.where(fr > sr, -1, 0),
+                             jnp.where(foe_cleared, -1, 0))
+        t_lt = jnp.where(t_lt_pre == 0, 1, t_lt_pre)
+        y0 = jnp.where(t1[None] > t2, -1,
+                       jnp.where(t1[None] < t2, t_lt, t_eq))
+        y = jnp.where(~foe_yield, 1, y0)
+        y = jnp.where((y == 1) & foe_cyc, -1, y)
+        passes = ~foe_exists | ~self_yield | (y == -1)
+        considered = cvalid & (d >= dls[None]) & relevant[None]
+        fail = considered & ~passes
+        any_fail = jnp.any(fail, axis=0)
+        ffk = jnp.argmax(fail, axis=0)
+        oh = kc_iota == ffk[None]
+        ff_d = jnp.sum(jnp.where(oh, d, 0.0), axis=0)
+        ff_foe = jnp.sum(jnp.where(oh, foelpi, 0), axis=0)
+        return any_fail, ff_d, ff_foe
+
+    def isr_speed(dls, speed, lane_left, any_fail, ff_d, is_approach,
+                  next_avail, can_enter):
+        """getIntersectionRelatedSpeed (vehicle.cpp:337-376; gen-1)."""
+        v_isr = jnp.full_like(speed, f(p_maxspd))
+        if isinstance(is_approach, bool):
+            app_mask = jnp.full_like(speed, is_approach, dtype=bool)
+        else:
+            app_mask = is_approach
+        v_isr = jnp.where(app_mask & lk_turn,
+                          jnp.minimum(v_isr, f(p_turnspd)), v_isr)
+        v_stop = stop_before_speed(speed, f(p_upa), f(p_una),
+                                   ff_d - dls - f(p_yield), dt)
+        v_isr = jnp.where(any_fail, jnp.minimum(v_isr, v_stop), v_isr)
+        red = app_mask & (~next_avail | ~can_enter)
+        min_brake = 0.5 * speed * speed / f(p_maxneg)
+        red_stop = red & ~(min_brake > lane_left)
+        v_red = jnp.minimum(f(p_maxspd), stop_before_speed(
+            speed, f(p_upa), f(p_una), lane_left, dt))
+        return jnp.where(red_stop, v_red, v_isr), red_stop
+
+    # Lane::canEnter of the link's end lane (roadnet.cpp:438-445; gen-1)
+    can_enter_k = (~end_tail_exists
+                   | (end_tail_dis > p_len + p_len)
+                   | (end_tail_speed >= 2))
+
+    def min_chain(speed, gap, lead_spd, has_lead, v_isr, isr_rel, custom,
+                  has_custom, drv_maxspd, invalid, lane_left):
+        """Vehicle::getNextSpeed min-rule (vehicle.cpp:308-335; gen-1)."""
+        v_hard = no_collision_speed(lead_spd, f(p_maxneg), speed,
+                                    f(p_maxneg), gap, dt, f(0))
+        assume_decel = jnp.where(speed > lead_spd, speed - lead_spd, f(0))
+        v_soft = no_collision_speed(lead_spd, f(p_una), speed, f(p_una),
+                                    gap, dt, f(p_mingap))
+        v_headway = ((gap + (lead_spd + assume_decel / 2) * dt
+                      - speed * dt / 2) / (p_headway + dt / 2))
+        v_plain = jnp.minimum(jnp.minimum(v_hard, v_soft), v_headway)
+        v_cust = jnp.minimum(custom, v_hard)
+        v_lead = jnp.where(has_custom, v_cust, v_plain)
+        v_nolead = jnp.where(has_custom, custom, f(p_maxspd))
+        v_cf = jnp.where(has_lead, v_lead, v_nolead)
+        v = jnp.minimum(f(p_maxspd), speed + f(p_maxpos) * dt)
+        v = jnp.minimum(v, drv_maxspd)
+        v = jnp.minimum(v, v_cf)
+        v = jnp.where(isr_rel, jnp.minimum(v, v_isr), v)
+        v_inv = no_collision_speed(f(0), f(1), speed, f(p_maxneg),
+                                   lane_left, dt, f(p_mingap))
+        v = jnp.where(invalid, jnp.minimum(v, v_inv), v)
+        v = jnp.maximum(v, speed - f(p_maxneg) * dt)
+        neg = v < 0
+        delta = jnp.where(neg, 0.5 * speed * speed / f(p_maxneg),
+                          (speed + v) * dt / 2)
+        return jnp.where(neg, f(0), v), delta
+
+    # --- link ring rows ---
+    lead_dis_k = jnp.concatenate(
+        [jnp.full((1, LKp), 1e9, f), rs.k_dis[:-1]], axis=0)
+    lead_spd_k = jnp.concatenate(
+        [jnp.zeros((1, LKp), f), rs.k_speed[:-1]], axis=0)
+    has_lead_k = jnp.concatenate(
+        [jnp.zeros((1, LKp), bool), occ_k[:-1]], axis=0)
+    gap_k = (lead_dis_k - p_len - rs.k_dis).reshape(SK, LPI, G)
+    # front: leader = end-lane tail (gen-1 leader_scan from a lanelink)
+    fr_gap = (lk_len - kdis3[0]) + end_tail_dis - p_len
+    gap_k = gap_k.at[0].set(jnp.where(end_tail_exists, fr_gap, gap_k[0]))
+    lead_spd_k3 = lead_spd_k.reshape(SK, LPI, G)
+    lead_spd_k3 = lead_spd_k3.at[0].set(end_tail_speed)
+    has_lead_k3 = has_lead_k.reshape(SK, LPI, G)
+    has_lead_k3 = has_lead_k3.at[0].set(end_tail_exists)
+
+    k_fail, k_ffd, k_fffoe = [], [], []
+    new_spd_k, new_dis_k = [], []
+    for s in range(SK):
+        af, fd, ffo = cross_caps(kdis3[s], kspd3[s],
+                                 jnp.minimum(kent3[s], 1 << 25).astype(f),
+                                 *_hilo(kpri3[s]), occ_k3[s])
+        k_fail.append(af); k_ffd.append(fd); k_fffoe.append(ffo)
+        v_isr, _ = isr_speed(kdis3[s], kspd3[s], jnp.zeros((LPI, G), f),
+                             af, fd, False, avail_lk, can_enter_k)
+        vs, dd = min_chain(
+            kspd3[s], gap_k[s], lead_spd_k3[s], has_lead_k3[s], v_isr,
+            jnp.ones((LPI, G), bool),
+            rs.k_custom.reshape(SK, LPI, G)[s],
+            rs.k_hascustom.reshape(SK, LPI, G)[s],
+            f(10000.0),                  # LaneLink maxSpeed, roadnet.h:456
+            jnp.zeros((LPI, G), bool), jnp.zeros((LPI, G), f))
+        new_spd_k.append(vs)
+        new_dis_k.append(kdis3[s] + dd)
+
+    # --- approach rows: lane fronts computed per-link then selected back
+    g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
+
+    def oh_lpi(nxt_ids):     # (IL, G) link ids -> one-hot (LPI, IL, G)
+        lpi_h = jnp.where(nxt_ids >= 0, (nxt_ids - LNp - g_iota)
+                          // jnp.int32(G), -1)
+        return (lpi_h[None] == jnp.arange(LPI, dtype=jnp.int32)
+                [:, None, None])
+
+    def from_link(ohl, x):   # (LPI, G) -> (IL, G) by each lane's own link
+        return jnp.einsum("lig,lg->ig", ohl.astype(f), x.astype(f),
+                          precision=HI)
+
+    # leader candidates for lane heads: ring tails of all out-links
+    # (Lane::laneLinks order, strict-min on dis-len; gen-1 leader_scan
+    # fast path), else own link's end-lane tail.
+    ktail_val = kt_dis - p_len
+    oc = _typed_mm(cfg, net["E_out"], jnp.stack(
+        [ktail_val.reshape(LPI, G), kt_exists.astype(f).reshape(LPI, G),
+         kt_speed.reshape(LPI, G)], axis=0))
+    oc = oc.reshape(3, IL, cfg.KOUT, G)
+    oc_valid = net["out_valid_g"] > 0                   # (IL, KOUT, G)
+    best_val = jnp.zeros((IL, G), f)
+    best_spd = jnp.zeros((IL, G), f)
+    best_ex = jnp.zeros((IL, G), bool)
+    for k in range(cfg.KOUT):
+        cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
+        better = cand_ex & (~best_ex | (oc[0, :, k] < best_val))
+        best_val = jnp.where(better, oc[0, :, k], best_val)
+        best_spd = jnp.where(better, oc[2, :, k], best_spd)
+        best_ex = best_ex | cand_ex
+
+    ap_out = []          # per a: (speed, dis, relevant, fail, ffoe, red)
+    for a in range(AP):
+        ohl = oh_lpi(h_nxt[a])
+        mine_ilg = h_occ[a] & (h_nxt[a] >= 0)
+        mine_lk = jnp.einsum("lig,ig->lg", ohl.astype(f),
+                             mine_ilg.astype(f), precision=HI) > 0.5
+        dis_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_dis[a],
+                            precision=HI)
+        spd_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_speed[a],
+                            precision=HI)
+        prih_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_prih[a],
+                             precision=HI)
+        pril_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_pril[a],
+                             precision=HI)
+        dls = dis_lk - st_len
+        lane_left_lk = st_len - dis_lk
+        af, fd, ffo = cross_caps(dls, spd_lk,
+                                 jnp.full((LPI, G), f(ENT_BIG)),
+                                 prih_lk, pril_lk, mine_lk)
+        v_isr, red_stop = isr_speed(dls, spd_lk, lane_left_lk, af, fd,
+                                    True, avail_lk, can_enter_k)
+        isr_rel_lk = mine_lk & (lane_left_lk <= approach)
+        # back to the lane side
+        v_isr_a = from_link(ohl, v_isr)
+        isr_rel_a = from_link(ohl, isr_rel_lk.astype(f)) > 0.5
+        red_a = from_link(ohl, red_stop.astype(f)) > 0.5
+        if a == 0:
+            etd = from_link(ohl, end_tail_dis)
+            ete = from_link(ohl, end_tail_exists.astype(f)) > 0.5
+            ets = from_link(ohl, end_tail_speed)
+            nlen = from_link(ohl, lk_len)
+            lane_left_a = il_len - h_dis[0]
+            gap1 = lane_left_a + best_val
+            gap2 = lane_left_a + nlen + etd - p_len
+            has_lead = best_ex | ete
+            glap = jnp.where(best_ex, gap1, gap2)
+            lead_spd = jnp.where(best_ex, best_spd, ets)
+        else:
+            has_lead = h_occ[a - 1]
+            glap = h_dis[a - 1] - p_len - h_dis[a]
+            lead_spd = h_speed[a - 1]
+        vs, dd = min_chain(h_speed[a], glap, lead_spd, has_lead,
+                           v_isr_a, isr_rel_a, h_custom[a], h_hascustom[a],
+                           il_maxspd, jnp.zeros((IL, G), bool),
+                           il_len - h_dis[a])
+        ap_out.append(dict(spd=vs, dis=h_dis[a] + dd,
+                           rel=mine_ilg, fail_lk=af & mine_lk,
+                           ffo_lk=ffo, red_lk=red_stop & mine_lk))
+
+    # --- lane-domain dynamics for all slots, then override fronts --------
+    lead_dis_l = jnp.concatenate(
+        [jnp.full((1, LNp), 1e9, f), rs.l_dis[:-1]], axis=0)
+    lead_spd_l = jnp.concatenate(
+        [jnp.zeros((1, LNp), f), rs.l_speed[:-1]], axis=0)
+    has_lead_l = jnp.concatenate(
+        [jnp.zeros((1, LNp), bool), occ_l[:-1]], axis=0)
+    gap_l = lead_dis_l - p_len - rs.l_dis
+    lane_left_l = net["ln_len"][None, :] - rs.l_dis
+    invalid_l = occ_l & (rs.l_nxt < 0) & ~rs.l_last
+    new_spd_l, delta_l = min_chain(
+        rs.l_speed, gap_l, lead_spd_l, has_lead_l,
+        jnp.zeros((SL, LNp), f), jnp.zeros((SL, LNp), bool),
+        rs.l_custom, rs.l_hascustom, net["ln_maxspd"][None, :],
+        invalid_l, lane_left_l)
+    new_dis_l = rs.l_dis + delta_l
+
+    in_inv = net["in_inv"]
+    has_inv = in_inv >= 0
+    safe_inv = jnp.clip(in_inv, 0)
+    for a in range(AP):
+        back = jnp.stack([ap_out[a]["spd"].reshape(-1),
+                          ap_out[a]["dis"].reshape(-1),
+                          ap_out[a]["rel"].reshape(-1).astype(f)], axis=-1)
+        got = jnp.take(back, safe_inv, axis=0)
+        use = has_inv & (got[:, 2] > 0)
+        new_spd_l = new_spd_l.at[a].set(
+            jnp.where(use, got[:, 0], new_spd_l[a]))
+        new_dis_l = new_dis_l.at[a].set(
+            jnp.where(use, got[:, 1], new_dis_l[a]))
+
+    # =====================================================================
+    # 4. transfers / removals / commit
+    # =====================================================================
+    ln_len_b = net["ln_len"][None, :]
+    # invalid vehicles never cross the lane end (v_inv stops them; clamp
+    # guards fp edges so they cannot fall off the ring)
+    new_dis_l = jnp.where(invalid_l, jnp.minimum(new_dis_l, ln_len_b),
+                          new_dis_l)
+    cross_l = occ_l & (new_dis_l > ln_len_b)
+    pref = jnp.ones((LNp,), bool)
+    leave_pref_l = []
+    for s in range(min(cfg.XK, SL)):
+        cur_l = cross_l[s] & pref
+        leave_pref_l.append(cur_l)
+        pref = cur_l
+    x_l = sum(c.astype(jnp.int32) for c in leave_pref_l)
+    if SL > cfg.XK:
+        deep = cross_l[cfg.XK:] & (sl_idx[cfg.XK:] < rs.n_l[None, :])
+        ov = ov | jnp.where(jnp.any(deep), OV_HOPS, 0).astype(jnp.int32)
+
+    removed_l = [leave_pref_l[s] & rs.l_last[s] for s in range(len(leave_pref_l))]
+    exited_l = [leave_pref_l[s] & ~rs.l_last[s] & (rs.l_nxt[s] >= 0)
+                for s in range(len(leave_pref_l))]
+    now = rs.step.astype(f) * dt
+    tt = now - rs.l_enter
+    n_rm = sum(r.astype(jnp.int32).sum() for r in removed_l)
+    t_rm = sum(jnp.where(removed_l[s], tt[s], f(0)).sum()
+               for s in range(len(removed_l)))
+
+    nd_k = jnp.stack([x2.reshape(-1) for x2 in new_dis_k], axis=0)
+    ns_k = jnp.stack([x2.reshape(-1) for x2 in new_spd_k], axis=0)
+    cross_k = occ_k & (nd_k > net["lk_len"][None, :])
+    prefk = jnp.ones((LKp,), bool)
+    leave_pref_k = []
+    for s in range(min(cfg.XK, SK)):
+        cur_k = cross_k[s] & prefk
+        leave_pref_k.append(cur_k)
+        prefk = cur_k
+    x_k = sum(c.astype(jnp.int32) for c in leave_pref_k)
+    if SK > cfg.XK:
+        deepk = cross_k[cfg.XK:] & (sk_idx[cfg.XK:] < rs.n_k[None, :])
+        ov = ov | jnp.where(jnp.any(deepk), OV_HOPS, 0).astype(jnp.int32)
+
+    # ---- compact route lookups for link->lane entrants ------------------
+    XKe = len(leave_pref_k)
+    exit_flags = jnp.stack(leave_pref_k, axis=0)           # (XKe, LKp)
+    eflat = exit_flags.reshape(-1)
+    NEF = XKe * LKp
+    pos_idx = jnp.nonzero(eflat, size=cfg.TMAX, fill_value=NEF)[0]
+    ov = ov | jnp.where(eflat.sum() > cfg.TMAX,
+                        OV_REMOVE, 0).astype(jnp.int32)
+    safe_pos = jnp.clip(pos_idx, 0, NEF - 1)
+    src_s = safe_pos // LKp
+    src_l = safe_pos % LKp
+    c_route = rs.k_route[jnp.clip(src_s, 0, SK - 1), src_l]
+    c_rpos = rs.k_rpos[jnp.clip(src_s, 0, SK - 1), src_l]
+    c_endlane = jnp.take(net["lk_end_lane"], src_l)
+    c_np = c_rpos + 1
+    c_nxt = rn_at(c_route, c_np, jnp.take(ln_llocal, jnp.clip(c_endlane, 0)))
+    c_end2 = jnp.take(net["lk_end_lane"], jnp.clip(c_nxt - LNp, 0, LKp - 1))
+    c_nxt3 = jnp.where(c_nxt >= 0,
+                       rn_at(c_route, c_np + 1,
+                             jnp.take(ln_llocal, jnp.clip(c_end2, 0))), -1)
+    c_last = c_np >= jnp.take(net["route_len"],
+                              jnp.clip(c_route, 0, NR - 1)) - 1
+    tgt_flat = jnp.where(pos_idx < NEF, safe_pos, NEF)
+    pay_nxt = jnp.full(NEF + 1, -1, jnp.int32).at[tgt_flat].set(
+        c_nxt, mode="drop")[:-1].reshape(XKe, LKp)
+    pay_nxt3 = jnp.full(NEF + 1, -1, jnp.int32).at[tgt_flat].set(
+        c_nxt3, mode="drop")[:-1].reshape(XKe, LKp)
+    pay_last = jnp.zeros(NEF + 1, bool).at[tgt_flat].set(
+        c_last, mode="drop")[:-1].reshape(XKe, LKp)
+
+    # ---- link ring: shift out + append entering lane fronts -------------
+    ent_valid = []
+    ent_bundles = []
+    for a in range(AP):
+        if a < len(exited_l):
+            ex_ring = exited_l[a].astype(f)
+        else:
+            ex_ring = jnp.zeros(LNp, f)
+        ex_a = jnp.take(ex_ring, jnp.clip(in_src, 0)) * src_ok
+        ex_a = (ex_a > 0).reshape(IL, G) & h_occ[a]
+        ohl = oh_lpi(h_nxt[a])
+        ok = ex_a & (h_nxt[a] >= 0)
+        enter = jnp.einsum("lig,ig->lg", ohl.astype(f), ok.astype(f),
+                           precision=HI) > 0.5
+        dis_new_a = None
+        # entrant state: the link-domain committed values
+        spd_a = ap_out[a]["spd"]
+        disl_a = ap_out[a]["dis"] - il_len          # position on the link
+
+        def rt_link(x):
+            return jnp.einsum("lig,ig->lg", ohl.astype(f),
+                              jnp.where(ok, x, 0.0), precision=HI)
+        bundle = dict(
+            dis=rt_link(disl_a), speed=rt_link(spd_a),
+            flow=rt_link(h_flow[a].astype(f)),
+            route=rt_link(h_route[a].astype(f)),
+            rpos=rt_link(h_rpos[a].astype(f)),
+            enter=rt_link(h_enter[a]),
+            prih=rt_link(h_prih[a]), pril=rt_link(h_pril[a]),
+            uid=rt_link(h_uid[a].astype(f)),
+            nxtl=rt_link(h_nxt3[a].astype(f))
+            )
+        ent_valid.append(enter)
+        ent_bundles.append(bundle)
+
+    m_k = sum(e.astype(jnp.int32) for e in ent_valid).reshape(-1)
+    new_n_k = rs.n_k - x_k + m_k
+    ov = ov | jnp.where(jnp.any(new_n_k > SK),
+                        OV_LINK_TABLE, 0).astype(jnp.int32)
+    new_n_k = jnp.minimum(new_n_k, SK)
+
+    def shift_out(updated, x_cnt, S, N, fill):
+        shifted = [updated]
+        for x in range(1, cfg.XK + 1):
+            shifted.append(jnp.concatenate(
+                [updated[x:], jnp.full((x, N), fill, updated.dtype)], axis=0))
+        out = shifted[0]
+        for x in range(1, cfg.XK + 1):
+            out = jnp.where((x_cnt == x)[None, :], shifted[x], out)
+        return out
+
+    def append_k(out, vals_per_a, fill):
+        base = (rs.n_k - x_k)[None, :]
+        for j in range(AP):
+            prevcnt = (sum(e.astype(jnp.int32) for e in ent_valid[:j])
+                       .reshape(-1) if j else jnp.zeros(LKp, jnp.int32))
+            place = (sk_idx == base + prevcnt[None, :]) \
+                & ent_valid[j].reshape(-1)[None, :]
+            out = jnp.where(place, vals_per_a[j].reshape(-1)[None, :]
+                            .astype(out.dtype), out)
+        return out
+
+    def commit_k(updated, name, fill, cast=None):
+        outv = shift_out(updated, x_k, SK, LKp, fill)
+        outv = append_k(outv, [ent_bundles[a][name] for a in range(AP)], fill)
+        return outv if cast is None else outv.astype(cast)
+
+    i32 = jnp.int32
+    new_k_dis = commit_k(nd_k, "dis", 0.0)
+    new_k_speed = commit_k(ns_k, "speed", 0.0)
+    new_k_flow = commit_k(rs.k_flow.astype(f), "flow", 0.0, i32)
+    new_k_route = commit_k(rs.k_route.astype(f), "route", 0.0, i32)
+    new_k_rpos = commit_k(rs.k_rpos.astype(f), "rpos", 0.0, i32)
+    new_k_enter = commit_k(rs.k_enter, "enter", 0.0)
+    prih_k, pril_k = _hilo(rs.k_pri)
+    nk_prih = commit_k(prih_k, "prih", 0.0)
+    nk_pril = commit_k(pril_k, "pril", 0.0)
+    new_k_pri = _from_hilo(nk_prih, nk_pril)
+    new_k_uid = commit_k(rs.k_uid.astype(f), "uid", -1.0, i32)
+    new_k_nxtl = commit_k(rs.k_nxtl.astype(f), "nxtl", -1.0, i32)
+    # entrants entered this step (engine.cpp:484-491)
+    ent_step_val = [jnp.full((LPI, G), rs.step.astype(f))] * AP
+    new_k_entll = shift_out(rs.k_entll.astype(f), x_k, SK, LKp,
+                            float(INT_MAX))
+    new_k_entll = append_k(new_k_entll, ent_step_val,
+                           float(INT_MAX)).astype(i32)
+
+    # ---- lane ring: shift out + append link leavers (pushBuffer order:
+    #      distance desc, engine.cpp:477-494) ----------------------------
+    payload = dict(
+        dis=nd_k - net["lk_len"][None, :], speed=ns_k,
+        flow=rs.k_flow.astype(f), route=rs.k_route.astype(f),
+        rpos=(rs.k_rpos + 1).astype(f), enter=rs.k_enter,
+        prih=jnp.broadcast_to(prih_k, (SK, LKp)),
+        pril=jnp.broadcast_to(pril_k, (SK, LKp)),
+        uid=rs.k_uid.astype(f),
+        nxt=jnp.concatenate([pay_nxt.astype(f),
+                             jnp.full((SK - XKe, LKp), -1.0, f)], axis=0),
+        nxt3=jnp.concatenate([pay_nxt3.astype(f),
+                              jnp.full((SK - XKe, LKp), -1.0, f)], axis=0),
+        last=jnp.concatenate([pay_last.astype(f),
+                              jnp.zeros((SK - XKe, LKp), f)], axis=0),
+        prev=jnp.broadcast_to(
+            (LNp + jnp.arange(LKp, dtype=i32))[None, :].astype(f),
+            (SK, LKp)))
+    PCH = list(payload.keys())
+    cand_list, cand_valid = [], []
+    for kin in range(cfg.KIN):
+        E_app = net["E_app"][:, kin]                 # (T, OL, LPI)
+        for xs in range(XKe):
+            stackch = jnp.stack([payload[c][xs] for c in PCH], axis=0)
+            got = _typed_mm(cfg, E_app,
+                            stackch.reshape(len(PCH), LPI, G))
+            vflag = _typed_mm(
+                cfg, E_app,
+                exit_flags[xs].astype(f).reshape(LPI, G)[None])[0]
+            cand_list.append(got)
+            cand_valid.append(vflag > 0.5)
+    A = len(cand_list)
+    cands = jnp.stack(cand_list, axis=0)             # (A, PCH, OL, G)
+    cvalidv = jnp.stack(cand_valid, axis=0)          # (A, OL, G)
+    disx = jnp.where(cvalidv, cands[:, PCH.index("dis")], -jnp.inf)
+    order = jnp.argsort(-disx, axis=0)
+    cands_s = jnp.take_along_axis(cands, order[:, None], axis=0)
+    cvalid_s = jnp.take_along_axis(cvalidv, order, axis=0)
+    m_ol = cvalidv.astype(i32).sum(0)
+    if A > cfg.SA:
+        ov = ov | jnp.where(jnp.any(cvalid_s[cfg.SA:]),
+                            OV_REMOVE, 0).astype(jnp.int32)
+
+    m_l = jnp.zeros((OL, cfg.I), i32).at[:, :G].set(m_ol).reshape(-1)
+    new_n_l = rs.n_l - x_l + m_l
+    ov = ov | jnp.where(jnp.any(new_n_l > SL), OV_SLOTS, 0).astype(jnp.int32)
+    new_n_l = jnp.minimum(new_n_l, SL)
+
+    def commit_l(updated, ch_i, fill, cast=None):
+        outv = shift_out(updated, x_l, SL, LNp, fill)
+        base = (rs.n_l - x_l)[None, :]
+        for j in range(min(cfg.SA, A)):
+            val = jnp.zeros((OL, cfg.I), f).at[:, :G].set(
+                jnp.where(cvalid_s[j], cands_s[j, ch_i], 0.0)).reshape(-1)
+            vmask = jnp.zeros((OL, cfg.I), bool).at[:, :G].set(
+                cvalid_s[j]).reshape(-1)
+            place = (sl_idx == base + j) & vmask[None, :]
+            outv = jnp.where(place, val[None, :].astype(outv.dtype), outv)
+        return outv if cast is None else outv.astype(cast)
+
+    new_l_dis = commit_l(new_dis_l, PCH.index("dis"), 0.0)
+    new_l_speed = commit_l(new_spd_l, PCH.index("speed"), 0.0)
+    new_l_flow = commit_l(rs.l_flow.astype(f), PCH.index("flow"), 0.0, i32)
+    new_l_route = commit_l(rs.l_route.astype(f), PCH.index("route"), 0.0, i32)
+    new_l_rpos = commit_l(rs.l_rpos.astype(f), PCH.index("rpos"), 0.0, i32)
+    new_l_enter = commit_l(rs.l_enter, PCH.index("enter"), 0.0)
+    prih_la, pril_la = _hilo(rs.l_pri)
+    nl_prih = commit_l(prih_la, PCH.index("prih"), 0.0)
+    nl_pril = commit_l(pril_la, PCH.index("pril"), 0.0)
+    new_l_pri = _from_hilo(nl_prih, nl_pril)
+    new_l_uid = commit_l(rs.l_uid.astype(f), PCH.index("uid"), -1.0, i32)
+    new_l_nxt = commit_l(rs.l_nxt.astype(f), PCH.index("nxt"), -1.0, i32)
+    new_l_nxt3 = commit_l(rs.l_nxt3.astype(f), PCH.index("nxt3"), -1.0, i32)
+    new_l_last = commit_l(rs.l_last.astype(f), PCH.index("last"), 0.0) > 0.5
+    new_l_prev = commit_l(rs.l_prev.astype(f), PCH.index("prev"), -1.0, i32)
+
+    # ---- blocker graph commit (front-most failing vehicle per link) -----
+    blk_new = jnp.full((LPI, G), -1, i32)
+    for s in reversed(range(SK)):
+        blk_new = jnp.where(occ_k3[s] & k_fail[s], k_fffoe[s], blk_new)
+    for a in reversed(range(AP)):
+        m = ap_out[a]["fail_lk"] & ~ap_out[a]["red_lk"]
+        blk_new = jnp.where((blk_new < 0) & m, ap_out[a]["ffo_lk"], blk_new)
+
+    # ---- lights (TrafficLight::passTime; gen-1 pass_time) ---------------
+    phase, remain = rs.phase, rs.phase_remain
+    if not cfg.rl_traffic_light:
+        n_ph = net["i_n_phases"]
+        has = (n_ph > 0) & ~net["i_virtual"]
+        remain = jnp.where(has, remain - dt, remain)
+        for _ in range(cfg.k_phase):
+            go = has & (remain <= 0)
+            nxtp = jnp.where(go, (phase + 1) % jnp.maximum(n_ph, 1), phase)
+            tph = jnp.take(net["phase_time"],
+                           jnp.clip(net["i_phase_offset"] + nxtp, 0,
+                                    net["phase_time"].shape[0] - 1))
+            remain = jnp.where(go, remain + tph, remain)
+            phase = nxtp
+
+    if debug:
+        dbg.update(dict(
+            end_tail_exists=end_tail_exists, end_tail_dis=end_tail_dis,
+            end_tail_prev=end_tail_prev, e_ok=e_ok,
+            s_ok=s_ok, avail_lk=avail_lk, exists=exists, ndist=ndist,
+            foe_exists=foe_exists, foe_yield=foe_yield,
+            foe_reach=foe_reach, foe_dist=foe_dist, foe_cleared=foe_cleared,
+            gap_k=gap_k, has_lead_k3=has_lead_k3, lead_spd_k3=lead_spd_k3,
+            k_fail=jnp.stack(k_fail), k_ffd=jnp.stack(k_ffd),
+            new_spd_k=jnp.stack(new_spd_k), new_dis_k=jnp.stack(new_dis_k),
+            cnt=cnt, ring_hit=ring_hit, w_p=w_p, can_enter_k=can_enter_k,
+            x_l=x_l, x_k=x_k, m_k=m_k, m_l=m_l,
+            ap_spd=jnp.stack([o["spd"] for o in ap_out]),
+            ap_dis=jnp.stack([o["dis"] for o in ap_out]),
+            ap_rel=jnp.stack([o["rel"] for o in ap_out]),
+            h_nxt=h_nxt, h_dis=h_dis, h_speed=h_speed, h_occ=h_occ,
+            best_ex=best_ex, best_val=best_val,
+            new_dis_l=new_dis_l, new_spd_l=new_spd_l,
+            ap_fail=jnp.stack([o["fail_lk"] for o in ap_out]),
+            ap_ffo=jnp.stack([o["ffo_lk"] for o in ap_out]),
+            ap_red=jnp.stack([o["red_lk"] for o in ap_out]),
+        ))
+    new_rs = rs.replace_fields(
+        step=rs.step + 1,
+        finished_cnt=rs.finished_cnt + n_rm,
+        cum_travel=rs.cum_travel + t_rm,
+        overflow=ov,
+        n_l=new_n_l, n_k=new_n_k, blk=blk_new.reshape(-1),
+        phase=phase, phase_remain=remain,
+        l_dis=new_l_dis, l_speed=new_l_speed, l_flow=new_l_flow,
+        l_route=new_l_route, l_rpos=new_l_rpos, l_nxt=new_l_nxt,
+        l_nxt3=new_l_nxt3, l_prev=new_l_prev, l_enter=new_l_enter,
+        l_pri=new_l_pri, l_uid=new_l_uid, l_last=new_l_last,
+        l_custom=jnp.zeros((SL, LNp), f),
+        l_hascustom=jnp.zeros((SL, LNp), bool),
+        k_dis=new_k_dis, k_speed=new_k_speed, k_flow=new_k_flow,
+        k_route=new_k_route, k_rpos=new_k_rpos, k_entll=new_k_entll,
+        k_enter=new_k_enter, k_pri=new_k_pri, k_uid=new_k_uid,
+        k_nxtl=new_k_nxtl,
+        k_custom=jnp.zeros((SK, LKp), f),
+        k_hascustom=jnp.zeros((SK, LKp), bool))
+    return (new_rs, dbg) if debug else new_rs
