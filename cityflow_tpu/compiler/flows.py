@@ -80,7 +80,32 @@ def connected_to_road(a: Road, b: Road) -> bool:
     return False
 
 
-def dijkstra(net: HostRoadNet, start: Road, end: Road, buffer: List[Road]) -> bool:
+def length_cost(road: Road) -> float:
+    """RouterType::LENGTH edge cost (router.cpp:191-193)."""
+    return road_average_length(road)
+
+
+def duration_cost_fn(road_duration, max_speed: float):
+    """RouterType::DURATION edge cost (router.cpp:193-200): the road's
+    historical average duration (Road::getAverageDuration,
+    roadnet.cpp:730-734), falling back to length/vehicle.maxSpeed when the
+    240-step history holds no vehicles. `road_duration` maps road index ->
+    duration or a negative sentinel (built by Engine from the device-side
+    lane history)."""
+    def cost(road: Road) -> float:
+        avg = road_duration.get(road.index, -1.0)
+        if avg < 0:
+            # Road::getLength = SUM of lane lengths (roadnet.cpp:701-707)
+            total = 0.0
+            for lane in road.lanes:
+                total += lane.length
+            avg = total / max_speed
+        return avg
+    return cost
+
+
+def dijkstra(net: HostRoadNet, start: Road, end: Road, buffer: List[Road],
+             cost=length_cost) -> bool:
     """reference: router.cpp:160-226 — appends path (excl. start) to buffer."""
     dis = {}
     frm = {}
@@ -102,8 +127,7 @@ def dijkstra(net: HostRoadNet, start: Road, end: Road, buffer: List[Road]) -> bo
         for adj_road in cur_road.end_intersection.roads:
             if not connected_to_road(cur_road, adj_road):
                 continue
-            # RouterType::LENGTH (router.h:41)
-            new_dis = cur_dis + road_average_length(adj_road)
+            new_dis = cur_dis + cost(adj_road)
             old = dis.get(adj_road.index)
             if old is None or new_dis < old:
                 frm[adj_road.index] = cur_road
@@ -119,13 +143,14 @@ def dijkstra(net: HostRoadNet, start: Road, end: Road, buffer: List[Road]) -> bo
     return success
 
 
-def update_shortest_path(net: HostRoadNet, anchors: List[Road]) -> Optional[List[Road]]:
+def update_shortest_path(net: HostRoadNet, anchors: List[Road],
+                         cost=length_cost) -> Optional[List[Road]]:
     """reference: router.cpp:228-243. Returns road route or None if invalid."""
     route = [anchors[0]]
     for i in range(1, len(anchors)):
         if anchors[i - 1] is anchors[i]:
             continue
-        if not dijkstra(net, anchors[i - 1], anchors[i], route):
+        if not dijkstra(net, anchors[i - 1], anchors[i], route, cost=cost):
             return None
     if len(route) <= 1:
         return None

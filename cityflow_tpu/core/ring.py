@@ -59,13 +59,19 @@ class RingConfig:
     AP: int = 2               # lane front slots computed in the link domain
     XK: int = 2               # max front departures per drivable per step
     SA: int = 4               # max appends per lane per step
-    TMAX: int = 512           # compacted transfer route-lookups per step
+    TMAX: int = 512           # (unused; kept for config stability)
+    TI: int = 12              # compacted link->lane transfers per
+                              # intersection per step (overflow-flagged)
     type_ranges: Tuple[Tuple[int, int], ...] = ()
     params: Tuple[float, ...] = ()
     rl_traffic_light: bool = False
     k_phase: int = 8
     k_cyc: int = 4
     foe_via_perm: bool = True
+    SKC: int = 99             # link ring slots that evaluate Cross::canPass;
+                              # deeper (queued) slots are car-following anyway
+                              # — the reference evaluates all (documented
+                              # fast-mode cap, like gen-1's k_chase)
 
     @property
     def dt(self):
@@ -349,10 +355,11 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     occ_k3 = occ_k.reshape(SK, LPI, G)
     n_k3 = rs.n_k.reshape(LPI, G)
 
-    cnt = jnp.zeros((KC, LPI, G), jnp.int32)
-    for s in range(SK):
-        cnt = cnt + (occ_k3[s][None]
-                     & ((kdis3[s] - p_len)[None] > d)).astype(jnp.int32)
+    # candidates = occupied slots whose tail has not cleared the cross;
+    # tails decrease along the ring, so the winner is slot `cnt` (the count
+    # of slots still past the cross) — one fused broadcast-reduce
+    cnt = jnp.sum(occ_k3[:, None] & ((kdis3 - p_len)[:, None] > d[None]),
+                  axis=0).astype(jnp.int32)
     ring_hit = cnt < n_k3[None]
 
     e_ok = end_tail_exists & (end_tail_prev == lk_id)
@@ -362,20 +369,18 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     s_ok = st_head_occ & (st_head_nxt == lk_id) & avail_lk
     p_s = st_head_dis - st_len
 
-    w_p = jnp.zeros((KC, LPI, G), f)
-    w_speed = jnp.zeros((KC, LPI, G), f)
-    w_entf = jnp.zeros((KC, LPI, G), f)
-    w_prih = jnp.zeros((KC, LPI, G), f)
-    w_pril = jnp.zeros((KC, LPI, G), f)
-    for s in range(SK):
-        hit = ring_hit & (cnt == s)
-        w_p = jnp.where(hit, kdis3[s][None], w_p)
-        w_speed = jnp.where(hit, kspd3[s][None], w_speed)
-        w_entf = jnp.where(hit, jnp.minimum(kent3[s], 1 << 25).astype(f)[None],
-                           w_entf)
-        ph_, pl_ = _hilo(kpri3[s])
-        w_prih = jnp.where(hit, ph_[None], w_prih)
-        w_pril = jnp.where(hit, pl_[None], w_pril)
+    # winner channels via a single one-hot contraction over the slot axis
+    # (a per-slot where-chain writes the full (KC,LPI,G) arrays SK times)
+    oh_w = (jnp.arange(SK, dtype=jnp.int32)[:, None, None, None]
+            == cnt[None]) & ring_hit[None]              # (SK,KC,LPI,G)
+    def wsel(x3):                                        # (SK,LPI,G) ->
+        return jnp.sum(jnp.where(oh_w, x3[:, None], 0.0), axis=0)
+    w_p = wsel(kdis3)
+    w_speed = wsel(kspd3)
+    w_entf = wsel(jnp.minimum(kent3, 1 << 25).astype(f))
+    kprih, kpril = _hilo(kpri3)
+    w_prih = wsel(kprih)
+    w_pril = wsel(kpril)
     use_start = ~e_elig & ~ring_hit & s_ok[None]
     w_p = jnp.where(use_start, p_s[None], w_p)
     w_speed = jnp.where(use_start, st_head_speed[None], w_speed)
@@ -411,17 +416,25 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     cyc_link = fcur >= 0
 
     # ---- foe exchange (gen-1 lnk_cross_foe_pos permutation) -------------
+    # channels 0-3 are bools, 4 is a small int: exact in single-pass bf16.
+    # channels 5-8 (ndist, ent, pri hi/lo) need full f32: 3-pass bf16 (HI).
     fields = jnp.stack([
         exists.astype(f), n_yield.astype(f), n_cleared.astype(f),
         jnp.broadcast_to(cyc_link[None].astype(f), (KC, LPI, G)),
-        n_reach.astype(f), ndist, w_entf, w_prih, w_pril], axis=0)
+        jnp.minimum(n_reach, 255).astype(f),   # ints <= 256 exact in bf16
+        ndist, w_entf, w_prih, w_pril], axis=0)
     NF = fields.shape[0]
+    NB = 5                           # bf16-safe leading channels
     if cfg.foe_via_perm:
         x = fields.reshape(NF, KC * LPI, G)
         outs = []
         for t, (g0, g1) in enumerate(cfg.type_ranges):
-            outs.append(jnp.einsum("st,ctg->csg", net["foe_perm"][t],
-                                   x[:, :, g0:g1], precision=HI))
+            P = net["foe_perm"][t]
+            lo = jnp.einsum("st,ctg->csg", P.astype(jnp.bfloat16),
+                            x[:NB, :, g0:g1].astype(jnp.bfloat16)).astype(f)
+            hi = jnp.einsum("st,ctg->csg", P, x[NB:, :, g0:g1],
+                            precision=HI)
+            outs.append(jnp.concatenate([lo, hi], axis=0))
         foe = jnp.concatenate(outs, axis=-1).reshape(NF, KC, LPI, G)
     else:
         flat = fields.reshape(NF, KC * LKp)
@@ -445,38 +458,49 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     kc_iota = jnp.arange(KC, dtype=jnp.int32)[:, None, None]
 
     def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant):
-        d1 = d - dls[None]
-        self_yield = can_yield(speed[None], f(p_maxneg), f(p_yield),
+        """Batched over a leading row axis: inputs (R, LPI, G), outputs
+        (R, LPI, G); intermediates (R, KC, LPI, G) stay inside one fused
+        loop (per-row calls emitted R separate fusion chains)."""
+        d1 = d[None] - dls[:, None]                     # (R, KC, LPI, G)
+        self_yield = can_yield(speed[:, None], f(p_maxneg), f(p_yield),
                                f(p_len), d1)
         self_target = jnp.where(lk_turn, f(p_turnspd), f(p_maxspd))
-        sr = reach_steps(speed[None], d1, self_target[None], f(p_upa), dt)
-        fr = foe_reach
-        pri_win = _pri_gt(my_ph[None], my_plo[None], foe_ph, foe_plo)
+        # both sides saturate at 255 (the foe channel crosses the bf16
+        # exchange): beyond that the reference would still compare exact
+        # ints, but "both >= 255 steps away" ties fall through to the
+        # enter-time rule, which is the right behavior anyway
+        sr = jnp.minimum(reach_steps(speed[:, None], d1,
+                                     self_target[None, None],
+                                     f(p_upa), dt), 255)
+        fr = foe_reach[None]
+        pri_win = _pri_gt(my_ph[:, None], my_plo[:, None],
+                          foe_ph[None], foe_plo[None])
         same_rank_y = jnp.where(
             fr > sr, -1, jnp.where(
                 fr < sr, 1, jnp.where(
-                    my_ent_f[None] == foe_ent,
-                    jnp.where(d1 == foe_dist,
+                    my_ent_f[:, None] == foe_ent[None],
+                    jnp.where(d1 == foe_dist[None],
                               jnp.where(pri_win, -1, 1),
-                              jnp.where(d1 < foe_dist, -1, 1)),
-                    jnp.where(my_ent_f[None] < foe_ent, -1, 1))))
-        t_eq = jnp.where(foe_dpos, same_rank_y,
-                         jnp.where(foe_cleared, -1, 1))
-        t_lt_pre = jnp.where(foe_dpos, jnp.where(fr > sr, -1, 0),
-                             jnp.where(foe_cleared, -1, 0))
+                              jnp.where(d1 < foe_dist[None], -1, 1)),
+                    jnp.where(my_ent_f[:, None] < foe_ent[None], -1, 1))))
+        t_eq = jnp.where(foe_dpos[None], same_rank_y,
+                         jnp.where(foe_cleared[None], -1, 1))
+        t_lt_pre = jnp.where(foe_dpos[None], jnp.where(fr > sr, -1, 0),
+                             jnp.where(foe_cleared[None], -1, 0))
         t_lt = jnp.where(t_lt_pre == 0, 1, t_lt_pre)
-        y0 = jnp.where(t1[None] > t2, -1,
-                       jnp.where(t1[None] < t2, t_lt, t_eq))
-        y = jnp.where(~foe_yield, 1, y0)
-        y = jnp.where((y == 1) & foe_cyc, -1, y)
-        passes = ~foe_exists | ~self_yield | (y == -1)
-        considered = cvalid & (d >= dls[None]) & relevant[None]
+        y0 = jnp.where(t1[None, None] > t2[None], -1,
+                       jnp.where(t1[None, None] < t2[None], t_lt, t_eq))
+        y = jnp.where(~foe_yield[None], 1, y0)
+        y = jnp.where((y == 1) & foe_cyc[None], -1, y)
+        passes = ~foe_exists[None] | ~self_yield | (y == -1)
+        considered = cvalid[None] & (d[None] >= dls[:, None]) \
+            & relevant[:, None]
         fail = considered & ~passes
-        any_fail = jnp.any(fail, axis=0)
-        ffk = jnp.argmax(fail, axis=0)
-        oh = kc_iota == ffk[None]
-        ff_d = jnp.sum(jnp.where(oh, d, 0.0), axis=0)
-        ff_foe = jnp.sum(jnp.where(oh, foelpi, 0), axis=0)
+        any_fail = jnp.any(fail, axis=1)
+        ffk = jnp.argmax(fail, axis=1)
+        oh = kc_iota[None] == ffk[:, None]
+        ff_d = jnp.sum(jnp.where(oh, d[None], 0.0), axis=1)
+        ff_foe = jnp.sum(jnp.where(oh, foelpi[None], 0), axis=1)
         return any_fail, ff_d, ff_foe
 
     def isr_speed(dls, speed, lane_left, any_fail, ff_d, is_approach,
@@ -548,24 +572,29 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     has_lead_k3 = has_lead_k.reshape(SK, LPI, G)
     has_lead_k3 = has_lead_k3.at[0].set(end_tail_exists)
 
-    k_fail, k_ffd, k_fffoe = [], [], []
-    new_spd_k, new_dis_k = [], []
-    for s in range(SK):
-        af, fd, ffo = cross_caps(kdis3[s], kspd3[s],
-                                 jnp.minimum(kent3[s], 1 << 25).astype(f),
-                                 *_hilo(kpri3[s]), occ_k3[s])
-        k_fail.append(af); k_ffd.append(fd); k_fffoe.append(ffo)
-        v_isr, _ = isr_speed(kdis3[s], kspd3[s], jnp.zeros((LPI, G), f),
-                             af, fd, False, avail_lk, can_enter_k)
-        vs, dd = min_chain(
-            kspd3[s], gap_k[s], lead_spd_k3[s], has_lead_k3[s], v_isr,
-            jnp.ones((LPI, G), bool),
-            rs.k_custom.reshape(SK, LPI, G)[s],
-            rs.k_hascustom.reshape(SK, LPI, G)[s],
-            f(10000.0),                  # LaneLink maxSpeed, roadnet.h:456
-            jnp.zeros((LPI, G), bool), jnp.zeros((LPI, G), f))
-        new_spd_k.append(vs)
-        new_dis_k.append(kdis3[s] + dd)
+    R = min(cfg.SKC, SK)
+    af_r, fd_r, ffo_r = cross_caps(
+        kdis3[:R], kspd3[:R], jnp.minimum(kent3[:R], 1 << 25).astype(f),
+        kprih[:R], kpril[:R], occ_k3[:R])
+    if SK > R:
+        padz = lambda x, fill: jnp.concatenate(
+            [x, jnp.full((SK - R, LPI, G), fill, x.dtype)], axis=0)
+        k_fail_all = padz(af_r, False)
+        k_ffd_all = padz(fd_r, 0.0)
+        k_fffoe_all = padz(ffo_r, 0)
+    else:
+        k_fail_all, k_ffd_all, k_fffoe_all = af_r, fd_r, ffo_r
+    v_isr_k, _ = isr_speed(kdis3, kspd3, jnp.zeros((SK, LPI, G), f),
+                           k_fail_all, k_ffd_all, False, avail_lk,
+                           can_enter_k)
+    ns_k3, dd_k = min_chain(
+        kspd3, gap_k, lead_spd_k3, has_lead_k3, v_isr_k,
+        jnp.ones((SK, LPI, G), bool),
+        rs.k_custom.reshape(SK, LPI, G),
+        rs.k_hascustom.reshape(SK, LPI, G),
+        f(10000.0),                  # LaneLink maxSpeed, roadnet.h:456
+        jnp.zeros((SK, LPI, G), bool), jnp.zeros((SK, LPI, G), f))
+    nd_k3 = kdis3 + dd_k
 
     # --- approach rows: lane fronts computed per-link then selected back
     g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
@@ -599,32 +628,38 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         best_spd = jnp.where(better, oc[2, :, k], best_spd)
         best_ex = best_ex | cand_ex
 
+    # route each lane-front slot to its chosen link (one-hot over LPI),
+    # run ONE batched cross_caps/isr pass over all AP rows, select back
+    ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
+    mine_ilgs = [h_occ[a] & (h_nxt[a] >= 0) for a in range(AP)]
+
+    def to_link_all(vals_per_a):
+        return jnp.stack(
+            [jnp.einsum("lig,ig->lg", ohls[a].astype(f),
+                        vals_per_a[a].astype(f), precision=HI)
+             for a in range(AP)], axis=0)                 # (AP, LPI, G)
+
+    mine_lk = to_link_all(mine_ilgs) > 0.5
+    dis_lk = to_link_all([h_dis[a] for a in range(AP)])
+    spd_lk = to_link_all([h_speed[a] for a in range(AP)])
+    prih_lk = to_link_all([h_prih[a] for a in range(AP)])
+    pril_lk = to_link_all([h_pril[a] for a in range(AP)])
+    dls_ap = dis_lk - st_len[None]
+    lane_left_lk = st_len[None] - dis_lk
+    af_ap, fd_ap, ffo_ap = cross_caps(
+        dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)),
+        prih_lk, pril_lk, mine_lk)
+    v_isr_ap, red_ap = isr_speed(dls_ap, spd_lk, lane_left_lk, af_ap,
+                                 fd_ap, True, avail_lk, can_enter_k)
+    isr_rel_ap = mine_lk & (lane_left_lk <= approach)
+
     ap_out = []          # per a: (speed, dis, relevant, fail, ffoe, red)
     for a in range(AP):
-        ohl = oh_lpi(h_nxt[a])
-        mine_ilg = h_occ[a] & (h_nxt[a] >= 0)
-        mine_lk = jnp.einsum("lig,ig->lg", ohl.astype(f),
-                             mine_ilg.astype(f), precision=HI) > 0.5
-        dis_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_dis[a],
-                            precision=HI)
-        spd_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_speed[a],
-                            precision=HI)
-        prih_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_prih[a],
-                             precision=HI)
-        pril_lk = jnp.einsum("lig,ig->lg", ohl.astype(f), h_pril[a],
-                             precision=HI)
-        dls = dis_lk - st_len
-        lane_left_lk = st_len - dis_lk
-        af, fd, ffo = cross_caps(dls, spd_lk,
-                                 jnp.full((LPI, G), f(ENT_BIG)),
-                                 prih_lk, pril_lk, mine_lk)
-        v_isr, red_stop = isr_speed(dls, spd_lk, lane_left_lk, af, fd,
-                                    True, avail_lk, can_enter_k)
-        isr_rel_lk = mine_lk & (lane_left_lk <= approach)
+        ohl = ohls[a]
+        mine_ilg = mine_ilgs[a]
         # back to the lane side
-        v_isr_a = from_link(ohl, v_isr)
-        isr_rel_a = from_link(ohl, isr_rel_lk.astype(f)) > 0.5
-        red_a = from_link(ohl, red_stop.astype(f)) > 0.5
+        v_isr_a = from_link(ohl, v_isr_ap[a])
+        isr_rel_a = from_link(ohl, isr_rel_ap[a].astype(f)) > 0.5
         if a == 0:
             etd = from_link(ohl, end_tail_dis)
             ete = from_link(ohl, end_tail_exists.astype(f)) > 0.5
@@ -645,8 +680,8 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
                            il_maxspd, jnp.zeros((IL, G), bool),
                            il_len - h_dis[a])
         ap_out.append(dict(spd=vs, dis=h_dis[a] + dd,
-                           rel=mine_ilg, fail_lk=af & mine_lk,
-                           ffo_lk=ffo, red_lk=red_stop & mine_lk))
+                           rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
+                           ffo_lk=ffo_ap[a], red_lk=red_ap[a] & mine_lk[a]))
 
     # --- lane-domain dynamics for all slots, then override fronts --------
     lead_dis_l = jnp.concatenate(
@@ -668,16 +703,17 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     in_inv = net["in_inv"]
     has_inv = in_inv >= 0
     safe_inv = jnp.clip(in_inv, 0)
+    back = jnp.stack(
+        [x for a in range(AP) for x in
+         (ap_out[a]["spd"].reshape(-1), ap_out[a]["dis"].reshape(-1),
+          ap_out[a]["rel"].reshape(-1).astype(f))], axis=-1)  # (ILG, 3*AP)
+    got = jnp.take(back, safe_inv, axis=0)       # one row gather per step
     for a in range(AP):
-        back = jnp.stack([ap_out[a]["spd"].reshape(-1),
-                          ap_out[a]["dis"].reshape(-1),
-                          ap_out[a]["rel"].reshape(-1).astype(f)], axis=-1)
-        got = jnp.take(back, safe_inv, axis=0)
-        use = has_inv & (got[:, 2] > 0)
+        use = has_inv & (got[:, 3 * a + 2] > 0)
         new_spd_l = new_spd_l.at[a].set(
-            jnp.where(use, got[:, 0], new_spd_l[a]))
+            jnp.where(use, got[:, 3 * a], new_spd_l[a]))
         new_dis_l = new_dis_l.at[a].set(
-            jnp.where(use, got[:, 1], new_dis_l[a]))
+            jnp.where(use, got[:, 3 * a + 1], new_dis_l[a]))
 
     # =====================================================================
     # 4. transfers / removals / commit
@@ -708,8 +744,8 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     t_rm = sum(jnp.where(removed_l[s], tt[s], f(0)).sum()
                for s in range(len(removed_l)))
 
-    nd_k = jnp.stack([x2.reshape(-1) for x2 in new_dis_k], axis=0)
-    ns_k = jnp.stack([x2.reshape(-1) for x2 in new_spd_k], axis=0)
+    nd_k = nd_k3.reshape(SK, LKp)
+    ns_k = ns_k3.reshape(SK, LKp)
     cross_k = occ_k & (nd_k > net["lk_len"][None, :])
     prefk = jnp.ones((LKp,), bool)
     leave_pref_k = []
@@ -723,45 +759,62 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         ov = ov | jnp.where(jnp.any(deepk), OV_HOPS, 0).astype(jnp.int32)
 
     # ---- compact route lookups for link->lane entrants ------------------
+    # Per-INTERSECTION compaction: exits from one intersection's links this
+    # step are sorted to the front of its (XKe*LPI) candidate axis with a
+    # multi-operand lax.sort (sorting network — jnp.nonzero lowers to a
+    # 15 ms custom scan at this scale), then only the first TI rows do the
+    # dynamic route-table lookups.
     XKe = len(leave_pref_k)
     exit_flags = jnp.stack(leave_pref_k, axis=0)           # (XKe, LKp)
-    eflat = exit_flags.reshape(-1)
-    NEF = XKe * LKp
-    pos_idx = jnp.nonzero(eflat, size=cfg.TMAX, fill_value=NEF)[0]
-    ov = ov | jnp.where(eflat.sum() > cfg.TMAX,
-                        OV_REMOVE, 0).astype(jnp.int32)
-    safe_pos = jnp.clip(pos_idx, 0, NEF - 1)
-    src_s = safe_pos // LKp
-    src_l = safe_pos % LKp
-    c_route = rs.k_route[jnp.clip(src_s, 0, SK - 1), src_l]
-    c_rpos = rs.k_rpos[jnp.clip(src_s, 0, SK - 1), src_l]
-    c_endlane = jnp.take(net["lk_end_lane"], src_l)
-    c_np = c_rpos + 1
-    c_nxt = rn_at(c_route, c_np, jnp.take(ln_llocal, jnp.clip(c_endlane, 0)))
+    TI = min(cfg.TI, XKe * LPI)
+    NC = XKe * LPI
+    ef3 = exit_flags.reshape(XKe, LPI, G).reshape(NC, G)
+    ov = ov | jnp.where(
+        jnp.any(ef3.astype(jnp.int32).sum(0) > TI),
+        OV_REMOVE, 0).astype(jnp.int32)
+    src_iota = jnp.broadcast_to(
+        jnp.arange(NC, dtype=jnp.int32)[:, None], (NC, G))
+    key = jnp.where(ef3, src_iota, NC)
+    route_pay = rs.k_route[:XKe].reshape(NC, G).astype(f)
+    rpos_pay = rs.k_rpos[:XKe].reshape(NC, G).astype(f)
+    endl_pay = jnp.broadcast_to(
+        jnp.take(ln_llocal, jnp.clip(net["lk_end_lane"], 0))
+        .reshape(1, LPI, G).astype(f), (XKe, LPI, G)).reshape(NC, G)
+    skey, s_route, s_rpos, s_endl = jax.lax.sort(
+        (key, route_pay, rpos_pay, endl_pay), dimension=0, num_keys=1)
+    c_valid = skey[:TI] < NC                               # (TI, G)
+    c_route = s_route[:TI].astype(jnp.int32)
+    c_np = s_rpos[:TI].astype(jnp.int32) + 1
+    c_nxt = rn_at(c_route, c_np, s_endl[:TI].astype(jnp.int32))
     c_end2 = jnp.take(net["lk_end_lane"], jnp.clip(c_nxt - LNp, 0, LKp - 1))
     c_nxt3 = jnp.where(c_nxt >= 0,
                        rn_at(c_route, c_np + 1,
                              jnp.take(ln_llocal, jnp.clip(c_end2, 0))), -1)
     c_last = c_np >= jnp.take(net["route_len"],
                               jnp.clip(c_route, 0, NR - 1)) - 1
-    tgt_flat = jnp.where(pos_idx < NEF, safe_pos, NEF)
-    pay_nxt = jnp.full(NEF + 1, -1, jnp.int32).at[tgt_flat].set(
-        c_nxt, mode="drop")[:-1].reshape(XKe, LKp)
-    pay_nxt3 = jnp.full(NEF + 1, -1, jnp.int32).at[tgt_flat].set(
-        c_nxt3, mode="drop")[:-1].reshape(XKe, LKp)
-    pay_last = jnp.zeros(NEF + 1, bool).at[tgt_flat].set(
-        c_last, mode="drop")[:-1].reshape(XKe, LKp)
+    # route results back to their (xs, link) rows: TI-pass one-hot select
+    pay_nxt = jnp.full((NC, G), -1, jnp.int32)
+    pay_nxt3 = jnp.full((NC, G), -1, jnp.int32)
+    pay_last = jnp.zeros((NC, G), bool)
+    for ti in range(TI):
+        hit = (src_iota == skey[ti][None, :]) & c_valid[ti][None, :]
+        pay_nxt = jnp.where(hit, c_nxt[ti][None, :], pay_nxt)
+        pay_nxt3 = jnp.where(hit, c_nxt3[ti][None, :], pay_nxt3)
+        pay_last = jnp.where(hit, c_last[ti][None, :], pay_last)
+    pay_nxt = pay_nxt.reshape(XKe, LKp)
+    pay_nxt3 = pay_nxt3.reshape(XKe, LKp)
+    pay_last = pay_last.reshape(XKe, LKp)
 
     # ---- link ring: shift out + append entering lane fronts -------------
+    ex_stack = jnp.stack(
+        [exited_l[a].astype(f) if a < len(exited_l) else jnp.zeros(LNp, f)
+         for a in range(AP)], axis=-1)                       # (LNp, AP)
+    ex_in = jnp.take(ex_stack, jnp.clip(in_src, 0), axis=0) \
+        * src_ok[:, None]                                    # one gather
     ent_valid = []
     ent_bundles = []
     for a in range(AP):
-        if a < len(exited_l):
-            ex_ring = exited_l[a].astype(f)
-        else:
-            ex_ring = jnp.zeros(LNp, f)
-        ex_a = jnp.take(ex_ring, jnp.clip(in_src, 0)) * src_ok
-        ex_a = (ex_a > 0).reshape(IL, G) & h_occ[a]
+        ex_a = (ex_in[:, a] > 0).reshape(IL, G) & h_occ[a]
         ohl = oh_lpi(h_nxt[a])
         ok = ex_a & (h_nxt[a] >= 0)
         enter = jnp.einsum("lig,ig->lg", ohl.astype(f), ok.astype(f),
@@ -874,9 +927,14 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     cands = jnp.stack(cand_list, axis=0)             # (A, PCH, OL, G)
     cvalidv = jnp.stack(cand_valid, axis=0)          # (A, OL, G)
     disx = jnp.where(cvalidv, cands[:, PCH.index("dis")], -jnp.inf)
-    order = jnp.argsort(-disx, axis=0)
-    cands_s = jnp.take_along_axis(cands, order[:, None], axis=0)
-    cvalid_s = jnp.take_along_axis(cvalidv, order, axis=0)
+    # multi-operand lax.sort = vectorized sorting network along the tiny A
+    # axis (argsort + take_along_axis would lower to a scalar-core gather
+    # over every element)
+    sorted_ops = jax.lax.sort(
+        (-disx, cvalidv.astype(f)) + tuple(cands[:, i] for i in range(len(PCH))),
+        dimension=0, num_keys=1)
+    cvalid_s = sorted_ops[1] > 0.5
+    cands_s = jnp.stack(sorted_ops[2:], axis=1)
     m_ol = cvalidv.astype(i32).sum(0)
     if A > cfg.SA:
         ov = ov | jnp.where(jnp.any(cvalid_s[cfg.SA:]),
@@ -918,7 +976,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     # ---- blocker graph commit (front-most failing vehicle per link) -----
     blk_new = jnp.full((LPI, G), -1, i32)
     for s in reversed(range(SK)):
-        blk_new = jnp.where(occ_k3[s] & k_fail[s], k_fffoe[s], blk_new)
+        blk_new = jnp.where(occ_k3[s] & k_fail_all[s], k_fffoe_all[s], blk_new)
     for a in reversed(range(AP)):
         m = ap_out[a]["fail_lk"] & ~ap_out[a]["red_lk"]
         blk_new = jnp.where((blk_new < 0) & m, ap_out[a]["ffo_lk"], blk_new)
@@ -946,8 +1004,8 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
             foe_exists=foe_exists, foe_yield=foe_yield,
             foe_reach=foe_reach, foe_dist=foe_dist, foe_cleared=foe_cleared,
             gap_k=gap_k, has_lead_k3=has_lead_k3, lead_spd_k3=lead_spd_k3,
-            k_fail=jnp.stack(k_fail), k_ffd=jnp.stack(k_ffd),
-            new_spd_k=jnp.stack(new_spd_k), new_dis_k=jnp.stack(new_dis_k),
+            k_fail=k_fail_all, k_ffd=k_ffd_all,
+            new_spd_k=ns_k3, new_dis_k=nd_k3,
             cnt=cnt, ring_hit=ring_hit, w_p=w_p, can_enter_k=can_enter_k,
             x_l=x_l, x_k=x_k, m_k=m_k, m_l=m_l,
             ap_spd=jnp.stack([o["spd"] for o in ap_out]),

@@ -35,7 +35,9 @@ INT_MAX = 2**31 - 1
                       "lc_dir", "lc_recv", "lc_tleader", "lc_tfollower",
                       "lc_lgap", "lc_fgap", "lc_last_dir",
                       "phase", "phase_remain",
-                      "last_of_drv"],
+                      "last_of_drv",
+                      "hist_ring_num", "hist_ring_ssum", "hist_num",
+                      "hist_ssum", "hist_t"],
          meta_fields=[])
 @dataclass
 class SimState:
@@ -93,6 +95,16 @@ class SimState:
     # rear vehicle), used by handleWaiting admission before this step's sort
     last_of_drv: Any          # (D,) i32
 
+    # per-lane rolling history (reference Lane::updateHistory,
+    # roadnet.cpp:900-915; 240-step window of per-step (vehicleNum,
+    # speedSum) powering RouterType::DURATION). Shapes are (HL+1, L) /
+    # (L,) when cfg.track_history else (1, 1) / (1,) dummies.
+    hist_ring_num: Any        # ring of per-step vehicle counts
+    hist_ring_ssum: Any       # ring of per-step speed sums
+    hist_num: Any             # (L,) window vehicle-count sum
+    hist_ssum: Any            # (L,) window speed sum
+    hist_t: Any               # i32 number of updateHistory calls so far
+
     def replace_fields(self, **kw) -> "SimState":
         return dataclasses.replace(self, **kw)
 
@@ -123,6 +135,8 @@ class StepConfig:
     rl_traffic_light: bool = False
     lane_change: bool = False
     exact: bool = True        # f64 + ordered reductions (golden parity)
+    track_history: bool = False   # Lane::updateHistory rolling window
+    history_len: int = 240        # reference roadnet.h:316
 
     @property
     def dtype(self):
@@ -165,4 +179,11 @@ def init_state(cfg: StepConfig, num_inters: int, phase_time0: np.ndarray,
         lc_lgap=zf(V), lc_fgap=zf(V), lc_last_dir=zi(V),
         phase=zi(num_inters), phase_remain=remain,
         last_of_drv=jnp.full(cfg.num_drivables, -1, jnp.int32),
+        hist_ring_num=(zf(cfg.history_len + 1, cfg.num_lanes)
+                       if cfg.track_history else zf(1, 1)),
+        hist_ring_ssum=(zf(cfg.history_len + 1, cfg.num_lanes)
+                        if cfg.track_history else zf(1, 1)),
+        hist_num=zf(cfg.num_lanes) if cfg.track_history else zf(1),
+        hist_ssum=zf(cfg.num_lanes) if cfg.track_history else zf(1),
+        hist_t=jnp.int32(0),
     )

@@ -956,7 +956,41 @@ def update_leader_and_gap(net, cfg: StepConfig, st: SimState,
     leader = jnp.where(st.running, jnp.where(has_in, in_leader, sl), -1)
     gap = jnp.where(st.running, jnp.where(has_in, gap_in, sg), st.gap)
     st = st.replace_fields(leader=leader, gap=gap, last_of_drv=arr["last_of"])
+    if cfg.track_history:
+        st = update_history(cfg, st)
     return st, arr
+
+
+def update_history(cfg: StepConfig, st: SimState):
+    """Lane::updateHistory (roadnet.cpp:900-915): 240-step rolling window of
+    per-step (vehicleNum, speedSum) per lane, feeding RouterType::DURATION
+    road costs (roadnet.cpp:719-734). Runs on every threadUpdateLeaderAndGap
+    call, exactly like the reference (twice per step with laneChange on).
+    We keep speed SUMS where the reference keeps (num, avg) pairs — equal up
+    to one extra rounding per entry; sums are unordered (documented delta)."""
+    f = st.dis.dtype
+    L = cfg.num_lanes
+    HL1 = cfg.history_len + 1
+    on_lane = st.running & (st.drv < L) & (st.drv >= 0)
+    lane = jnp.where(on_lane, st.drv, L)
+    cur_num = jnp.zeros(L + 1, f).at[lane].add(
+        jnp.where(on_lane, f.type(1), f.type(0)))[:L]
+    cur_ssum = jnp.zeros(L + 1, f).at[lane].add(
+        jnp.where(on_lane, st.speed, f.type(0)))[:L]
+    slot = st.hist_t % HL1
+    full = st.hist_t >= HL1
+    old_num = jax.lax.dynamic_slice_in_dim(st.hist_ring_num, slot, 1)[0]
+    old_ssum = jax.lax.dynamic_slice_in_dim(st.hist_ring_ssum, slot, 1)[0]
+    old_num = jnp.where(full, old_num, f.type(0))
+    old_ssum = jnp.where(full, old_ssum, f.type(0))
+    return st.replace_fields(
+        hist_num=st.hist_num - old_num + cur_num,
+        hist_ssum=st.hist_ssum - old_ssum + cur_ssum,
+        hist_ring_num=jax.lax.dynamic_update_slice_in_dim(
+            st.hist_ring_num, cur_num[None], slot, 0),
+        hist_ring_ssum=jax.lax.dynamic_update_slice_in_dim(
+            st.hist_ring_ssum, cur_ssum[None], slot, 0),
+        hist_t=st.hist_t + 1)
 
 
 def pass_time(net, cfg: StepConfig, st: SimState):

@@ -105,6 +105,12 @@ class Engine:
         self.lane_change = bool(cfgj.get("laneChange", False))
         self.save_replay_in_config = bool(cfgj.get("saveReplay", False))
         self.save_replay = self.save_replay_in_config
+        # Extension key (the reference hardcodes RouterType::LENGTH at
+        # router.h:42; DURATION exists but is unreachable — we expose it):
+        # "routerType": "LENGTH" | "DURATION"
+        self.router_type = str(cfgj.get("routerType", "LENGTH")).upper()
+        if self.router_type not in ("LENGTH", "DURATION"):
+            raise ValueError(f"unknown routerType {self.router_type}")
         self._exact = exact
         if exact:
             jax.config.update("jax_enable_x64", True)
@@ -129,7 +135,8 @@ class Engine:
             k_out=ko, k_cross=kc,
             rl_traffic_light=self.rl_traffic_light,
             lane_change=self.lane_change,
-            exact=exact)
+            exact=exact,
+            track_history=(self.router_type == "DURATION"))
         self.state = self._fresh_state()
         self._manually_pushed = 0
         self._pushed_ids: Dict[int, str] = {}   # uid -> custom id
@@ -310,6 +317,49 @@ class Engine:
             self._net_dev[k] = jnp.asarray(getattr(net, k))
         return rid
 
+    def _road_durations(self) -> Dict[int, float]:
+        """Road::getAverageDuration per road from the device-side lane
+        history (roadnet.cpp:719-734): average speed weighted by history
+        vehicle counts over the road's lanes; -1 when the window is empty."""
+        out: Dict[int, float] = {}
+        if not self.cfg.track_history:
+            return out
+        num, ssum = jax.device_get((self.state.hist_num, self.state.hist_ssum))
+        for road in self.net.host.net.roads:
+            n = 0.0
+            s = 0.0
+            for lane in road.lanes:
+                n += float(num[lane.index])
+                s += float(ssum[lane.index])
+            if n <= 0:
+                out[road.index] = -1.0     # getAverageSpeed -1: no history
+            else:
+                from cityflow_tpu.compiler.flows import road_average_length
+                # avgSpeed 0 (all-stopped window) -> duration inf, exactly
+                # like the reference's double division
+                avg_speed = s / n
+                out[road.index] = (math.inf if avg_speed == 0
+                                   else road_average_length(road) / avg_speed)
+        return out
+
+    def _router_cost(self, max_speed: float):
+        from cityflow_tpu.compiler import flows as flows_mod
+        if self.router_type == "DURATION":
+            return flows_mod.duration_cost_fn(self._road_durations(),
+                                              max_speed)
+        return flows_mod.length_cost
+
+    def get_lane_history(self) -> Dict[str, tuple]:
+        """Per-lane (historyVehicleNum, historyAverageSpeed) — the rolling
+        window behind DURATION routing (Lane::getHistoryVehicleNum /
+        getHistoryAverageSpeed, roadnet.cpp:917-923)."""
+        if not self.cfg.track_history:
+            raise RuntimeError('lane history requires routerType "DURATION"')
+        num, ssum = jax.device_get((self.state.hist_num, self.state.hist_ssum))
+        ids = self.net.host.lane_ids
+        return {ids[i]: (int(num[i]), float(ssum[i] / num[i]) if num[i] else 0.0)
+                for i in range(len(ids))}
+
     def set_vehicle_route(self, vid: str, anchors: List[str]) -> bool:
         """reference Engine::setRoute -> Router::setRoute
         (engine.cpp:852-866, router.cpp:245-264)."""
@@ -327,8 +377,10 @@ class Engine:
         except KeyError:
             return False
         cur_road = host.net.lanes[drv].road
+        max_spd = float(jax.device_get(self.state.params[slot, 8]))
         route = flows_mod.update_shortest_path(
-            host.net, [cur_road] + anchor_roads)
+            host.net, [cur_road] + anchor_roads,
+            cost=self._router_cost(max_spd))
         if route is None:
             return False
         rid = self._register_route(route)
@@ -362,7 +414,8 @@ class Engine:
             maxSpeed=float(info.get("maxSpeed", 16.66667)),
             headwayTime=float(info.get("headwayTime", 1.0)))
         anchor_roads = [host.net.road_map[r] for r in roads]
-        route = flows_mod.update_shortest_path(host.net, anchor_roads)
+        route = flows_mod.update_shortest_path(
+            host.net, anchor_roads, cost=self._router_cost(tpl.maxSpeed))
         rid = self._register_route(route) if route is not None else -1
         # synthetic flow row for the custom params
         net = self.net

@@ -59,7 +59,7 @@ def _build_queues(gen: SpawnGenerator, meta: RingMeta, horizon: int,
 
 def build_sim(net: CompiledNet, horizon: int = 512,
               sl: Optional[int] = None, sk: Optional[int] = None,
-              tmax: int = 512) -> RingSim:
+              tmax: int = 512, skc: Optional[int] = None) -> RingSim:
     import jax.numpy as jnp
     cfgj = net.host.config
     interval = float(cfgj["interval"])
@@ -85,7 +85,8 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         type_ranges=meta.type_ranges,
         params=tuple(float(v) for v in meta.param_row),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
-        foe_via_perm=meta.foe_via_perm)
+        foe_via_perm=meta.foe_via_perm,
+        SKC=(skc if skc is not None else 4))
 
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
     q = _build_queues(gen, meta, horizon)

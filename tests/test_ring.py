@@ -1,0 +1,112 @@
+"""Gen-2 ring layout vs gen-1 fast mode: trajectory equivalence.
+
+The ring step (core/ring.py) reimplements gen-1's fast mode in a
+per-drivable slot layout; per-vehicle arithmetic is the same formulas, so
+trajectories must agree up to f32 association noise (different reduction
+groupings in the exchange einsums). The golden-bit-exactness contract
+stays on the gen-1 exact path (test_golden_*); this test pins the ring
+rewrite to gen-1 fast.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _fix(name):
+    return os.path.join(HERE, "fixtures", name)
+
+
+def _gen1_setup(cfg_path, steps, max_vehicles=1024):
+    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu.compiler.spawn import SpawnGenerator
+    from cityflow_tpu.core.state import StepConfig, init_state
+    from cityflow_tpu.engine import _net_device_arrays
+
+    net = compile_scenario(cfg_path)
+    cfgj = net.host.config
+    interval = float(cfgj["interval"])
+    gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
+    gen.extend(steps + 8)
+    t = gen.arrays()
+    pad = max(gen.max_per_step, 1)
+    spawn_dev = {k: jnp.asarray(np.concatenate(
+        [t[k], np.full(pad, -1 if k == "step" else 0, t[k].dtype)]))
+        for k in ("step", "flow", "priority", "first_drv", "route")}
+    L = net.num_lanes
+    ll_len = net.drv_len[L:] if net.num_links else np.zeros(1)
+    k_link = int(min(16, np.ceil(ll_len.max() / 7.0) + 2)) if net.num_links else 4
+    cfg1 = StepConfig(
+        interval=interval, num_lanes=net.num_lanes,
+        num_drivables=net.num_lanes + net.num_links,
+        max_vehicles=max_vehicles, max_spawn_per_step=gen.max_per_step,
+        k_link=k_link, k_scan=6, k_hop=4,
+        k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
+        rl_traffic_light=bool(cfgj["rlTrafficLight"]), exact=False)
+    net_dev = _net_device_arrays(net, np.float32)
+    st = init_state(cfg1, net.num_inters, net.phase_time, net.n_phases,
+                    net.phase_offset)
+    return net, cfg1, net_dev, st, spawn_dev
+
+
+def _fetch_gen1(st):
+    names = ["active", "running", "uid", "dis", "speed", "drv"]
+    vals = jax.device_get([getattr(st, n) for n in names])
+    c = dict(zip(names, vals))
+    out = {}
+    for i in np.nonzero(c["active"] & c["running"])[0]:
+        out[int(c["uid"][i])] = (int(c["drv"][i]), float(c["dis"][i]),
+                                 float(c["speed"][i]))
+    return out
+
+
+def _run_compare(cfg_path, steps, check_every=10, tol=2e-3):
+    from cityflow_tpu.core import step as step_mod
+    from cityflow_tpu import ring_sim
+
+    net, cfg1, net_dev, st1, spawn_dev = _gen1_setup(cfg_path, steps)
+    sim = ring_sim.build_sim(net, horizon=steps + 8)
+    worst = 0.0
+    for i in range(1, steps + 1):
+        st1 = step_mod.step(net_dev, cfg1, st1, spawn_dev)
+        ring_sim.step(sim)
+        if i % check_every:
+            continue
+        a = _fetch_gen1(st1)
+        b = ring_sim.fetch_vehicles(sim)
+        assert set(a) == set(b), \
+            f"step {i}: vehicle sets differ ({len(a)} vs {len(b)})"
+        for u in a:
+            assert a[u][0] == b[u][0], \
+                f"step {i}: uid {u} drivable {a[u]} vs {b[u]}"
+            worst = max(worst, abs(a[u][1] - b[u][1]),
+                        abs(a[u][2] - b[u][2]))
+        assert worst <= tol, f"step {i}: worst drift {worst}"
+    assert int(jax.device_get(sim.state.overflow)) == 0
+    c1 = jax.device_get((st1.cum_travel, st1.finished_cnt))
+    c2 = jax.device_get((sim.state.cum_travel, sim.state.finished_cnt))
+    assert int(c1[1]) == int(c2[1])
+    if float(c1[0]):
+        assert abs(float(c1[0]) - float(c2[0])) / max(float(c1[0]), 1) < 0.02
+    return worst
+
+
+def test_ring_matches_gen1_4x4():
+    _run_compare(_fix("config_4x4.json"), 100)
+
+
+@pytest.mark.slow
+def test_ring_matches_gen1_4x4_long():
+    _run_compare(_fix("config_4x4.json"), 400)
+
+
+@pytest.mark.slow
+def test_ring_matches_gen1_example():
+    # single big intersection: exercises the foe-gather fallback path
+    _run_compare(_fix("config_example.json"), 200, tol=0.2)

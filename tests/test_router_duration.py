@@ -1,0 +1,93 @@
+"""Lane history + RouterType::DURATION (reference roadnet.cpp:900-923,
+router.cpp:193-200 — dead-by-default there since router.h:42 hardcodes
+LENGTH; exposed here via the config key "routerType")."""
+
+import json
+import math
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _duration_config(tmp_path):
+    with open(os.path.join(HERE, "fixtures", "config_example.json")) as f:
+        cfg = json.load(f)
+    cfg["routerType"] = "DURATION"
+    p = tmp_path / "config_duration.json"
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return str(p)
+
+
+def test_history_matches_reference_formula(tmp_path):
+    """hist sums == reference Lane::updateHistory accumulation replayed in
+    python from the per-step lane occupancy/speed the API reports."""
+    from cityflow_tpu.engine import Engine
+    eng = Engine(_duration_config(tmp_path))
+    L = eng.net.num_lanes
+    ids = eng.net.host.lane_ids
+    exp_entries = {i: [] for i in range(L)}     # (num, speed_sum) per step
+    for _ in range(40):
+        eng.next_step()
+        lv = eng.get_lane_vehicles()
+        speeds = eng.get_vehicle_speed()
+        for i, lid in enumerate(ids):
+            vs = lv.get(lid, [])
+            exp_entries[i].append(
+                (len(vs), sum(speeds[v] for v in vs)))
+    hist = eng.get_lane_history()
+    for i, lid in enumerate(ids):
+        num = sum(n for n, _ in exp_entries[i][-241:])
+        ssum = sum(s for _, s in exp_entries[i][-241:])
+        got_n, got_avg = hist[lid]
+        assert got_n == num, (lid, got_n, num)
+        if num:
+            assert abs(got_avg - ssum / num) < 1e-9
+
+
+def test_duration_cost_changes_route(tmp_path):
+    """Dijkstra with injected road durations must route around congestion
+    that LENGTH routing ignores (router.cpp:193-200)."""
+    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu.compiler import flows as flows_mod
+    net = compile_scenario(os.path.join(HERE, "fixtures", "config_2x2.json"))
+    hn = net.host.net
+    # pick an origin/destination with at least two road-disjoint paths
+    # in the 2x2 grid: horizontal-then-vertical vs vertical-then-horizontal
+    start = hn.road_map["road_0_1_0"]
+    end = hn.road_map["road_2_1_0"]
+    base = flows_mod.update_shortest_path(hn, [start, end])
+    assert base is not None
+    # congest every road on the LENGTH-optimal path except the anchors
+    durations = {}
+    for r in base[1:-1]:
+        durations[r.index] = 1e6
+    cost = flows_mod.duration_cost_fn(durations, max_speed=16.67)
+    slow = flows_mod.update_shortest_path(hn, [start, end], cost=cost)
+    assert slow is not None
+    assert [r.id for r in slow] != [r.id for r in base]
+    # and with empty history the DURATION route uses the len/maxSpeed
+    # fallback, which ranks roads like LENGTH does up to the lane-count sum
+    cost0 = flows_mod.duration_cost_fn({}, max_speed=16.67)
+    free = flows_mod.update_shortest_path(hn, [start, end], cost=cost0)
+    assert free is not None
+
+
+def test_duration_reroute_api(tmp_path):
+    """set_vehicle_route under routerType DURATION consumes the live
+    history (smoke: must succeed and keep the vehicle on a valid route)."""
+    from cityflow_tpu.engine import Engine
+    eng = Engine(_duration_config(tmp_path))
+    for _ in range(25):
+        eng.next_step()
+    vids = eng.get_vehicles(include_waiting=False)
+    moved = 0
+    for v in vids[:5]:
+        info = eng.get_vehicle_info(v)
+        if info.get("drivable", "").startswith("road"):
+            ok = eng.set_vehicle_route(v, [info["road"]])
+            moved += 1
+    eng.next_step()
+    assert eng.get_vehicle_count() > 0
