@@ -1,15 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark: aggregate env-steps/s of the vectorized simulator.
 
-Runs the fast path (f32, unordered reductions) on the default jax device
-(TPU when available), vmapped over a batch of env instances, stepping fully
-on device via lax.scan. Prints ONE JSON line:
+Default = the metric of record: the 30x30 grid (BASELINE.md), gen-2 ring
+layout, f32, vmapped batch, on the default jax device (TPU when present).
+Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference C++ engine measured on this host (single thread,
-tools/oracle README): 4x4 grid = 182 steps/s, 30x30 = 67 steps/s. The
-driver's bar is 8-thread C++; we scale the 1-thread number by 8 (optimistic
-for the reference — linear scaling).
+Baseline: the reference C++ engine measured on this host (1 thread,
+tools/oracle/README.md): 4x4 grid = 182 steps/s, 16x16 ~ 100, 30x30 = 67.
+The driver's bar is 8-thread C++; we scale the 1-thread number by 8
+(optimistic for the reference — it scales sub-linearly).
 """
 
 import argparse
@@ -20,43 +20,55 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REF_1T = {"4x4": 182.0, "16x16": 100.0, "30x30": 67.0, "example": 670.0}
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="tests/fixtures/config_4x4.json")
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--max-vehicles", type=int, default=4096)
-    ap.add_argument("--ref-steps-per-s", type=float, default=182.0,
-                    help="reference C++ 1-thread steps/s on this scenario")
-    ap.add_argument("--k-scan", type=int, default=6)
-    ap.add_argument("--k-hop", type=int, default=4)
-    ap.add_argument("--split-phases", action="store_true", default=None,
-                    help="three separately-jitted sub-programs; default: "
-                         "auto (on for nets with >2000 lanelinks, where the "
-                         "monolithic program schedules poorly)")
-    ap.add_argument("--no-split-phases", dest="split_phases",
-                    action="store_false")
-    args = ap.parse_args()
 
+def run_ring(args, net):
     import jax
     import jax.numpy as jnp
-    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu import ring_sim
+    from cityflow_tpu.core.ring import ring_step
+
+    t0 = time.time()
+    sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
+                             sl=args.lane_slots)
+    build_s = time.time() - t0
+    st0 = sim.state
+    B = args.batch
+    bstate = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
+        if hasattr(x, "shape") else x, st0)
+    step_b = jax.jit(jax.vmap(
+        lambda s: ring_step.__wrapped__(sim.tables, sim.cfg, s, sim.q)))
+    t0 = time.time()
+    bstate = jax.block_until_ready(step_b(bstate))
+    compile_s = time.time() - t0
+    for _ in range(args.warmup - 1):
+        bstate = step_b(bstate)
+    bstate = jax.block_until_ready(bstate)
+    t0 = time.time()
+    s = bstate
+    for _ in range(args.steps):
+        s = step_b(s)
+    s = jax.block_until_ready(s)
+    dt = time.time() - t0
+    ov = int(jnp.max(s.overflow))
+    veh = int(jnp.sum(s.n_l[0]) + jnp.sum(s.n_k[0]))
+    return dt, ov, veh, build_s, compile_s
+
+
+def run_gen1(args, net):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from cityflow_tpu.compiler.spawn import SpawnGenerator
     from cityflow_tpu.core.state import StepConfig, init_state
-    from cityflow_tpu.engine import _net_device_arrays, _enable_compilation_cache
+    from cityflow_tpu.engine import _net_device_arrays
     from cityflow_tpu.parallel.batch import init_batch_state
-    import numpy as np
+    from cityflow_tpu.core import step as step_mod
 
-    _enable_compilation_cache()
-    here = os.path.dirname(os.path.abspath(__file__))
-    cfg_path = os.path.join(here, args.config) \
-        if not os.path.isabs(args.config) else args.config
-    net = compile_scenario(cfg_path)
     cfgj = net.host.config
     interval = float(cfgj["interval"])
-
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
     horizon = args.warmup + args.steps + 8
     gen.extend(horizon)
@@ -65,8 +77,6 @@ def main():
     spawn_dev = {k: jnp.asarray(np.concatenate(
         [t[k], np.full(pad, -1 if k == "step" else 0, t[k].dtype)]))
         for k in ("step", "flow", "priority", "first_drv", "route")}
-
-    # per-lanelink slot table sized by physical capacity (len/(minLen+minGap))
     L = net.num_lanes
     ll_len = net.drv_len[L:] if net.num_links else np.zeros(1)
     k_link = int(min(16, np.ceil(ll_len.max() / 7.0) + 2)) if net.num_links else 4
@@ -75,29 +85,17 @@ def main():
         num_drivables=net.num_lanes + net.num_links,
         max_vehicles=args.max_vehicles,
         max_spawn_per_step=gen.max_per_step,
-        k_link=k_link, k_scan=args.k_scan, k_hop=args.k_hop,
+        k_link=k_link, k_scan=6, k_hop=4,
         k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
+        lane_change=bool(cfgj.get("laneChange", False)),
         exact=False)
-
     net_dev = _net_device_arrays(net, np.float32)
     st0 = init_state(cfg, net.num_inters, net.phase_time, net.n_phases,
                      net.phase_offset)
     state = init_batch_state(cfg, st0, args.batch)
-
-    # dispatch-loop stepping: async dispatch per step, block once at the end
-    # (measured ~8x faster than a lax.scan rollout on the axon TPU runtime)
-    from cityflow_tpu.core import step as step_mod
-    if args.split_phases is None:
-        args.split_phases = net.num_links > 2000
-    if args.split_phases:
-        def one(s):
-            s, arr, fa, ia = step_mod.step_part1.__wrapped__(
-                net_dev, cfg, s, spawn_dev)
-            buf, ov = step_mod.step_part2.__wrapped__(
-                net_dev, cfg, s, arr, fa, ia)
-            return step_mod.step_part3.__wrapped__(net_dev, cfg, s, arr,
-                                                   buf, ov)
+    split = net.num_links > 2000
+    if split:
         p1 = jax.jit(jax.vmap(lambda s: step_mod.step_part1.__wrapped__(
             net_dev, cfg, s, spawn_dev)))
         p2a = jax.jit(jax.vmap(lambda s, arr, fa, ia:
@@ -113,12 +111,15 @@ def main():
         def step_b(s):
             s, arr, fa, ia = p1(s)
             la, vn, nf = p2a(s, arr, fa, ia)
-            buf, ov = p2b(s, arr, la, vn, nf)
-            return p3(s, arr, buf, ov)
+            buf, ovh = p2b(s, arr, la, vn, nf)
+            return p3(s, arr, buf, ovh)
     else:
         step_b = jax.jit(jax.vmap(
             lambda s: step_mod.step.__wrapped__(net_dev, cfg, s, spawn_dev)))
-    for _ in range(args.warmup):
+    t0 = time.time()
+    state = jax.block_until_ready(step_b(state))
+    compile_s = time.time() - t0
+    for _ in range(args.warmup - 1):
         state = step_b(state)
     state = jax.block_until_ready(state)
     t0 = time.time()
@@ -126,20 +127,71 @@ def main():
         state = step_b(state)
     state = jax.block_until_ready(state)
     dt = time.time() - t0
-
     ov = int(jnp.max(state.overflow))
+    veh = int(jnp.sum(state.active[0]))
+    return dt, ov, veh, 0.0, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="benchmarks/config_30x30.json")
+    ap.add_argument("--layout", choices=["ring", "gen1", "auto"],
+                    default="auto",
+                    help="gen-2 ring (fast path) or gen-1 slot pool")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--lane-slots", type=int, default=16,
+                    help="ring lane capacity (jam capacity needs ~40; 16 "
+                         "is verified overflow-free for this horizon)")
+    ap.add_argument("--max-vehicles", type=int, default=4096)
+    ap.add_argument("--ref-steps-per-s", type=float, default=None)
+    args = ap.parse_args()
+
+    import jax
+    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu.engine import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg_path = args.config if os.path.isabs(args.config) \
+        else os.path.join(here, args.config)
+    net = compile_scenario(cfg_path)
+
+    scen = "other"
+    for k in REF_1T:
+        if k in args.config:
+            scen = k
+            break
+    ref = args.ref_steps_per_s or REF_1T.get(scen, 67.0)
+
+    layout = args.layout
+    if layout in ("ring", "auto"):
+        try:
+            dt, ov, veh, build_s, compile_s = run_ring(args, net)
+            layout = "ring"
+        except ValueError:
+            if args.layout == "ring":
+                raise
+            layout = "gen1"
+    if layout == "gen1":
+        dt, ov, veh, build_s, compile_s = run_gen1(args, net)
+
     env_steps = args.batch * args.steps
     rate = env_steps / dt
-    baseline = args.ref_steps_per_s * 8  # 8-thread reference proxy
+    baseline = ref * 8  # 8-thread reference proxy
     print(json.dumps({
-        "metric": "env_steps_per_sec_4x4" if "4x4" in args.config
-                  else "env_steps_per_sec",
+        "metric": f"env_steps_per_sec_{scen}",
         "value": round(rate, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / baseline, 2),
+        "layout": layout,
         "batch": args.batch, "steps": args.steps,
+        "ms_per_batched_step": round(dt * 1000 / args.steps, 2),
+        "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]).split(":")[0],
         "overflow_flags": ov,
+        "vehicles_per_env": veh,
         "seconds": round(dt, 3),
     }))
 

@@ -64,6 +64,8 @@ class RingMeta:
     param_row: np.ndarray = None    # (12,) the single template if uniform
     foe_via_perm: bool = True       # einsum foe exchange vs flat gather
     KOUT: int = 1                   # max out-links per in-lane
+    fwd_shifts: tuple = ()          # shift plan offsets (lane -> in-lane)
+    bwd_shifts: tuple = ()          # shift plan offsets (in-lane -> lane)
 
 
 def _veh_bound(net: CompiledNet, interval: float) -> float:
@@ -352,6 +354,26 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     tb["lk_foetype"] = lk_foetype
     tb["lk_foelpi"] = lk_foelpi
 
+    # shift-decomposition plan for a constant index map j -> idx[j]:
+    # the top-K offsets (idx[j] - j) become masked static slices (free on
+    # TPU), the residual tail stays a tiny gather. Grid topology puts ~97%
+    # of the in-lane exchange on ~12 offsets.
+    def shift_plan(idx: np.ndarray, max_groups: int = 16):
+        n = len(idx)
+        j = np.arange(n)
+        valid = idx >= 0
+        offs = idx.astype(np.int64) - j
+        uo, cnts = np.unique(offs[valid], return_counts=True)
+        order = np.argsort(-cnts)
+        top = [int(uo[k]) for k in order[:max_groups]]
+        gid = np.full(n, -1, np.int8)
+        for k, o in enumerate(top):
+            gid[valid & (offs == o)] = k
+        res = valid & (gid < 0)
+        res_j = np.nonzero(res)[0].astype(np.int32)
+        res_src = idx[res].astype(np.int32)
+        return tuple(top), gid, res_j, res_src
+
     # in-lane gather map: (IL, G) flat lane pos (-1 pad)
     in_src = np.full((IL, G), -1, np.int32)
     for g in range(G):
@@ -366,6 +388,17 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
             if in_src[il, g] >= 0:
                 in_inv[in_src[il, g]] = il * G + g
     tb["in_inv"] = in_inv
+
+    fwd_shifts, fwd_gid, fwd_rj, fwd_rs = shift_plan(in_src.reshape(-1))
+    bwd_shifts, bwd_gid, bwd_rj, bwd_rs = shift_plan(in_inv)
+    meta.fwd_shifts = fwd_shifts
+    meta.bwd_shifts = bwd_shifts
+    tb["fwd_gid"] = fwd_gid
+    tb["fwd_res_j"] = fwd_rj
+    tb["fwd_res_src"] = fwd_rs
+    tb["bwd_gid"] = bwd_gid
+    tb["bwd_res_j"] = bwd_rj
+    tb["bwd_res_src"] = bwd_rs
 
     # type-shared operators. The dense foe permutation (S2 x S2 one-hot,
     # applied on the MXU) is only worth materializing when S2 is small —

@@ -255,7 +255,9 @@ def plan_lane_change(net, cfg: StepConfig, st: SimState, arr):
         route_pos=cp(st2.route_pos), enter_time=cp(st2.enter_time),
         enter_ll_time=cp(st2.enter_ll_time),
         priority=cp(st2.priority, sh_pri),
-        leader=cp(st2.leader, jnp.int32(-1)), gap=cp(st2.gap, f.type(0)),
+        # the shadow copies the real's controllerInfo (vehicle.cpp copy
+        # ctor), including the (possibly stale) gap that gates makeSignal
+        leader=cp(st2.leader, jnp.int32(-1)), gap=cp(st2.gap),
         blocker=cp(st2.blocker, jnp.int32(-1)),
         custom_speed=cp(st2.custom_speed, f.type(0)),
         has_custom=cp(st2.has_custom, False),

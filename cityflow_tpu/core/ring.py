@@ -72,6 +72,8 @@ class RingConfig:
                               # deeper (queued) slots are car-following anyway
                               # — the reference evaluates all (documented
                               # fast-mode cap, like gen-1's k_chase)
+    fwd_shifts: Tuple[int, ...] = ()   # exchange shift plans (ring_net);
+    bwd_shifts: Tuple[int, ...] = ()   # empty tuple -> plain gather
 
     @property
     def dt(self):
@@ -170,6 +172,26 @@ def _from_hilo(h, l):
 
 def _pri_gt(ah, al, bh, bl):
     return (ah > bh) | ((ah == bh) & (al > bl))
+
+
+def _shifted_exchange(rows, n_out, shifts, gid, res_j, res_src):
+    """Apply a constant index map as masked static slices + tiny residual
+    gather (ring_net.shift_plan). `rows` is (N_in, CH); returns (n_out, CH).
+    On TPU a constant-index row gather still pays the scalar core per index
+    (~5 ns x LNp x B adds up to tens of ms per step at 30x30); the slices
+    are vector loads."""
+    n_in, ch = rows.shape
+    lo = max(0, -min(shifts)) if shifts else 0
+    hi = max(0, (max(shifts) if shifts else 0) + n_out - n_in)
+    rows_p = jnp.pad(rows, ((lo, hi), (0, 0)))
+    out = jnp.zeros((n_out, ch), rows.dtype)
+    for k, o in enumerate(shifts):
+        sl = jax.lax.dynamic_slice_in_dim(rows_p, o + lo, n_out, axis=0)
+        out = jnp.where((gid == k)[:, None], sl, out)
+    if res_j.shape[0]:
+        res_rows = jnp.take(rows, jnp.clip(res_src, 0), axis=0)
+        out = out.at[jnp.clip(res_j, 0, n_out - 1)].set(res_rows)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +313,25 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
          net["ln_len"][None, :], net["ln_maxspd"][None, :]], axis=0)
     in_src = net["in_src"].reshape(-1)
     src_ok = in_src >= 0
-    inl = jnp.take(fwd.T, jnp.clip(in_src, 0), axis=0).T
+
+    def fwd_exchange(rows):        # (LNp, CH) -> (IL*G, CH)
+        if cfg.fwd_shifts:
+            return _shifted_exchange(rows, IL * G, cfg.fwd_shifts,
+                                     net["fwd_gid"], net["fwd_res_j"],
+                                     net["fwd_res_src"])
+        return jnp.where(src_ok[:, None],
+                         jnp.take(rows, jnp.clip(in_src, 0), axis=0), 0.0)
+
+    def bwd_exchange(rows):        # (IL*G, CH) -> (LNp, CH)
+        if cfg.bwd_shifts:
+            return _shifted_exchange(rows, LNp, cfg.bwd_shifts,
+                                     net["bwd_gid"], net["bwd_res_j"],
+                                     net["bwd_res_src"])
+        iv = net["in_inv"]
+        return jnp.where((iv >= 0)[:, None],
+                         jnp.take(rows, jnp.clip(iv, 0), axis=0), 0.0)
+
+    inl = fwd_exchange(fwd.T).T
     inl = jnp.where(src_ok[None, :], inl, 0.0).reshape(-1, IL, G)
 
     def ap_ch(c):
@@ -603,11 +643,17 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         lpi_h = jnp.where(nxt_ids >= 0, (nxt_ids - LNp - g_iota)
                           // jnp.int32(G), -1)
         return (lpi_h[None] == jnp.arange(LPI, dtype=jnp.int32)
-                [:, None, None])
+                [:, None, None]).astype(f)
 
-    def from_link(ohl, x):   # (LPI, G) -> (IL, G) by each lane's own link
-        return jnp.einsum("lig,lg->ig", ohl.astype(f), x.astype(f),
-                          precision=HI)
+    # one einsum per direction with ALL channels stacked — per-channel
+    # einsums re-materialize the (LPI, IL, G) one-hot each time
+    def to_link(ohl, xs):    # [(IL,G)...] -> (C, LPI, G)
+        return jnp.einsum("lig,cig->clg", ohl,
+                          jnp.stack([x.astype(f) for x in xs]), precision=HI)
+
+    def from_link(ohl, ys):  # [(LPI,G)...] -> (C, IL, G)
+        return jnp.einsum("lig,clg->cig", ohl,
+                          jnp.stack([y.astype(f) for y in ys]), precision=HI)
 
     # leader candidates for lane heads: ring tails of all out-links
     # (Lane::laneLinks order, strict-min on dis-len; gen-1 leader_scan
@@ -633,17 +679,13 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
     mine_ilgs = [h_occ[a] & (h_nxt[a] >= 0) for a in range(AP)]
 
-    def to_link_all(vals_per_a):
-        return jnp.stack(
-            [jnp.einsum("lig,ig->lg", ohls[a].astype(f),
-                        vals_per_a[a].astype(f), precision=HI)
-             for a in range(AP)], axis=0)                 # (AP, LPI, G)
-
-    mine_lk = to_link_all(mine_ilgs) > 0.5
-    dis_lk = to_link_all([h_dis[a] for a in range(AP)])
-    spd_lk = to_link_all([h_speed[a] for a in range(AP)])
-    prih_lk = to_link_all([h_prih[a] for a in range(AP)])
-    pril_lk = to_link_all([h_pril[a] for a in range(AP)])
+    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a],
+                               h_prih[a], h_pril[a]]) for a in range(AP)]
+    mine_lk = jnp.stack([c[0] for c in lk_ch]) > 0.5      # (AP, LPI, G)
+    dis_lk = jnp.stack([c[1] for c in lk_ch])
+    spd_lk = jnp.stack([c[2] for c in lk_ch])
+    prih_lk = jnp.stack([c[3] for c in lk_ch])
+    pril_lk = jnp.stack([c[4] for c in lk_ch])
     dls_ap = dis_lk - st_len[None]
     lane_left_lk = st_len[None] - dis_lk
     af_ap, fd_ap, ffo_ap = cross_caps(
@@ -657,14 +699,12 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     for a in range(AP):
         ohl = ohls[a]
         mine_ilg = mine_ilgs[a]
-        # back to the lane side
-        v_isr_a = from_link(ohl, v_isr_ap[a])
-        isr_rel_a = from_link(ohl, isr_rel_ap[a].astype(f)) > 0.5
+        # back to the lane side (one stacked einsum)
         if a == 0:
-            etd = from_link(ohl, end_tail_dis)
-            ete = from_link(ohl, end_tail_exists.astype(f)) > 0.5
-            ets = from_link(ohl, end_tail_speed)
-            nlen = from_link(ohl, lk_len)
+            bk = from_link(ohl, [v_isr_ap[a], isr_rel_ap[a], end_tail_dis,
+                                 end_tail_exists, end_tail_speed, lk_len])
+            v_isr_a, isr_rel_a = bk[0], bk[1] > 0.5
+            etd, ete, ets, nlen = bk[2], bk[3] > 0.5, bk[4], bk[5]
             lane_left_a = il_len - h_dis[0]
             gap1 = lane_left_a + best_val
             gap2 = lane_left_a + nlen + etd - p_len
@@ -672,6 +712,8 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
             glap = jnp.where(best_ex, gap1, gap2)
             lead_spd = jnp.where(best_ex, best_spd, ets)
         else:
+            bk = from_link(ohl, [v_isr_ap[a], isr_rel_ap[a]])
+            v_isr_a, isr_rel_a = bk[0], bk[1] > 0.5
             has_lead = h_occ[a - 1]
             glap = h_dis[a - 1] - p_len - h_dis[a]
             lead_spd = h_speed[a - 1]
@@ -702,12 +744,11 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
 
     in_inv = net["in_inv"]
     has_inv = in_inv >= 0
-    safe_inv = jnp.clip(in_inv, 0)
     back = jnp.stack(
         [x for a in range(AP) for x in
          (ap_out[a]["spd"].reshape(-1), ap_out[a]["dis"].reshape(-1),
           ap_out[a]["rel"].reshape(-1).astype(f))], axis=-1)  # (ILG, 3*AP)
-    got = jnp.take(back, safe_inv, axis=0)       # one row gather per step
+    got = bwd_exchange(back)
     for a in range(AP):
         use = has_inv & (got[:, 3 * a + 2] > 0)
         new_spd_l = new_spd_l.at[a].set(
@@ -809,36 +850,23 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     ex_stack = jnp.stack(
         [exited_l[a].astype(f) if a < len(exited_l) else jnp.zeros(LNp, f)
          for a in range(AP)], axis=-1)                       # (LNp, AP)
-    ex_in = jnp.take(ex_stack, jnp.clip(in_src, 0), axis=0) \
-        * src_ok[:, None]                                    # one gather
+    ex_in = fwd_exchange(ex_stack) * src_ok[:, None]
     ent_valid = []
     ent_bundles = []
+    ENT_CH = ["dis", "speed", "flow", "route", "rpos", "enter", "prih",
+              "pril", "uid", "nxtl"]
     for a in range(AP):
         ex_a = (ex_in[:, a] > 0).reshape(IL, G) & h_occ[a]
-        ohl = oh_lpi(h_nxt[a])
+        ohl = ohls[a]
         ok = ex_a & (h_nxt[a] >= 0)
-        enter = jnp.einsum("lig,ig->lg", ohl.astype(f), ok.astype(f),
-                           precision=HI) > 0.5
-        dis_new_a = None
-        # entrant state: the link-domain committed values
-        spd_a = ap_out[a]["spd"]
-        disl_a = ap_out[a]["dis"] - il_len          # position on the link
-
-        def rt_link(x):
-            return jnp.einsum("lig,ig->lg", ohl.astype(f),
-                              jnp.where(ok, x, 0.0), precision=HI)
-        bundle = dict(
-            dis=rt_link(disl_a), speed=rt_link(spd_a),
-            flow=rt_link(h_flow[a].astype(f)),
-            route=rt_link(h_route[a].astype(f)),
-            rpos=rt_link(h_rpos[a].astype(f)),
-            enter=rt_link(h_enter[a]),
-            prih=rt_link(h_prih[a]), pril=rt_link(h_pril[a]),
-            uid=rt_link(h_uid[a].astype(f)),
-            nxtl=rt_link(h_nxt3[a].astype(f))
-            )
-        ent_valid.append(enter)
-        ent_bundles.append(bundle)
+        okf = ok.astype(f)
+        src = [ap_out[a]["dis"] - il_len, ap_out[a]["spd"],
+               h_flow[a].astype(f), h_route[a].astype(f),
+               h_rpos[a].astype(f), h_enter[a], h_prih[a], h_pril[a],
+               h_uid[a].astype(f), h_nxt3[a].astype(f)]
+        got_ = to_link(ohl, [okf] + [jnp.where(ok, x, 0.0) for x in src])
+        ent_valid.append(got_[0] > 0.5)
+        ent_bundles.append(dict(zip(ENT_CH, got_[1:])))
 
     m_k = sum(e.astype(jnp.int32) for e in ent_valid).reshape(-1)
     new_n_k = rs.n_k - x_k + m_k

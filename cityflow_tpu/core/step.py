@@ -451,7 +451,8 @@ def admit_waiting(net, cfg: StepConfig, st: SimState, arr_prev):
     sl, sg = leader_scan(net, cfg, st, arr_now, need_scan)
     st = st.replace_fields(
         leader=jnp.where(need_scan, sl, st.leader),
-        gap=jnp.where(need_scan, sg, st.gap))
+        # scan miss keeps the stale gap (vehicle.cpp:162-196)
+        gap=jnp.where(need_scan & (sl >= 0), sg, st.gap))
     return st, arr_now, fattrs, iattrs
 
 
@@ -954,7 +955,12 @@ def update_leader_and_gap(net, cfg: StepConfig, st: SimState,
     need_scan = st.running & ~has_in
     sl, sg = leader_scan(net, cfg, st, arr, need_scan)
     leader = jnp.where(st.running, jnp.where(has_in, in_leader, sl), -1)
-    gap = jnp.where(st.running, jnp.where(has_in, gap_in, sg), st.gap)
+    # when the scan finds NO leader the reference leaves controllerInfo.gap
+    # untouched (vehicle.cpp:162-196 returns without writing) — the stale
+    # value feeds SimpleLaneChange::makeSignal's gap gating
+    gap = jnp.where(st.running,
+                    jnp.where(has_in, gap_in,
+                              jnp.where(sl >= 0, sg, st.gap)), st.gap)
     st = st.replace_fields(leader=leader, gap=gap, last_of_drv=arr["last_of"])
     if cfg.track_history:
         st = update_history(cfg, st)

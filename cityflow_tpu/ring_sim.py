@@ -86,7 +86,9 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         params=tuple(float(v) for v in meta.param_row),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
         foe_via_perm=meta.foe_via_perm,
-        SKC=(skc if skc is not None else 4))
+        SKC=(skc if skc is not None else 4),
+        fwd_shifts=tuple(meta.fwd_shifts),
+        bwd_shifts=tuple(meta.bwd_shifts))
 
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
     q = _build_queues(gen, meta, horizon)

@@ -34,9 +34,14 @@ def engine_step_record(eng):
     return {v["id"]: v for v in out}
 
 
-def compare_step(eng, gold, t, atol=0.0, check_speed=True):
-    """Return list of mismatch strings (empty = exact match)."""
+def compare_step(eng, gold, t, atol=0.0, check_speed=True,
+                 ignore_shadow=False):
+    """Return list of mismatch strings (empty = exact match).
+    ignore_shadow drops lane-change shadow twins (the oracle's per-step dump
+    lists only real vehicles; the shadow's state is implied by its real)."""
     mine = engine_step_record(eng)
+    if ignore_shadow:
+        mine = {k: v for k, v in mine.items() if not k.endswith("_shadow")}
     theirs = {v["id"]: v for v in gold["vehicles"]}
     errs = []
     only_mine = set(mine) - set(theirs)
