@@ -507,6 +507,36 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     tb["route_next"] = ring_next               # (NR, RLEN, MAXLPR)
     tb["route_len"] = net.route_len.astype(np.int32)
 
+    # two-hop route table: for a vehicle entering the lane selected at
+    # (rid, p, li), aux = ((nxt3 + 2) << 1) | is_last where nxt3 is the
+    # link AFTER that lane's next link's end lane. Baked at compile time so
+    # link->lane transfers need a single table gather instead of a chained
+    # three-gather walk per transfer.
+    NRr, RLENr, MAXLPRr = ring_next.shape
+    lane_llocal_of_pos = np.zeros(LNp, np.int64)
+    for lane in hn.lanes:
+        lane_llocal_of_pos[lane_pos[lane.index]] = lane.lane_index
+    aux = np.zeros((NRr, RLENr, MAXLPRr), np.int32)
+    lk_end_lane_np = np.full(LKp, -1, np.int64)
+    for g in range(G):
+        i = int(new2old[g])
+        for lpi, k in enumerate(inter_links[i]):
+            lk_end_lane_np[lpi * G + g] = lane_pos[int(net.ll_end[k])]
+    rl_np = net.route_len
+    for rid in range(NRr):
+        for p2 in range(RLENr):
+            last2 = p2 >= (rl_np[rid] - 1) if rid < len(rl_np) else True
+            for li in range(MAXLPRr):
+                nxt = ring_next[rid, p2, li]
+                nxt3 = -1
+                if nxt >= 0:
+                    el2 = lk_end_lane_np[nxt - LNp]
+                    if el2 >= 0 and p2 + 1 < RLENr:
+                        nxt3 = ring_next[rid, p2 + 1,
+                                         int(lane_llocal_of_pos[el2])]
+                aux[rid, p2, li] = ((nxt3 + 2) << 1) | int(bool(last2))
+    tb["route_aux"] = aux
+
     tb["flow_params"] = net.flow_params.astype(f32)
     fp = net.flow_params[net.flow_route >= 0]
     meta_uniform = bool(len(fp) and (fp == fp[0]).all())
@@ -524,4 +554,11 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     entry = np.array(sorted(els), np.int64) if els else np.zeros(0, np.int64)
     meta.entry_lanes = entry
     tb["el_lane"] = entry.astype(np.int32)
+    # one-hot (LNp, EL) spread for admission writes (13 scalar-core
+    # scatters per step otherwise)
+    EL = max(len(entry), 1)
+    E_el = np.zeros((LNp, EL), f32)
+    for e, p in enumerate(entry):
+        E_el[int(p), e] = 1.0
+    tb["E_el"] = E_el
     return tb, meta

@@ -235,7 +235,6 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     ov = ov | jnp.where(jnp.any(has_row & avail_e & (n_e >= SL)),
                         OV_SLOTS, 0).astype(jnp.int32)
 
-    tgt = jnp.where(admit, n_e * LNp + el_lane, SL * LNp)
     ln_llocal = net["ln_llocal"]
     rn = net["route_next"]
     NR, RLEN, MAXLPR = rn.shape
@@ -254,25 +253,44 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
                        -1)
     last0 = jnp.take(net["route_len"], rt) <= 1
 
-    def scat_l(a, v):
-        vv = jnp.broadcast_to(v, (EL,)).astype(a.dtype)
-        return a.reshape(-1).at[tgt].set(vv, mode="drop").reshape(SL, LNp)
+    # spread EL-domain values to the lane axis with the static one-hot
+    # (13 per-attr scalar-core scatters cost ~5 ms/step at 30x30)
+    E_el = net["E_el"]                              # (LNp, EL)
+    adm_lane = jnp.einsum("ne,e->n", E_el, admit.astype(f),
+                          precision=HI) > 0.5       # (LNp,)
+    pri_h0, pri_l0 = _hilo(row["pri"])
+
+    def spread(v):
+        return jnp.einsum("ne,e->n", E_el,
+                          jnp.where(admit, v.astype(f), 0.0), precision=HI)
+    vals = jnp.stack([spread(row["flow"]), spread(rt),
+                      spread(nxt0), spread(nxt3_0),
+                      spread(pri_h0), spread(pri_l0),
+                      spread(row["uid"]), spread(last0)], axis=0)
+    place = adm_lane[None, :] & (jnp.arange(SL, dtype=jnp.int32)[:, None]
+                                 == rs.n_l[None, :])
+
+    def put(a, dense_v):
+        return jnp.where(place, dense_v[None, :].astype(a.dtype), a)
+
+    def putc(a, const):
+        return jnp.where(place, jnp.asarray(const, a.dtype), a)
 
     rs = rs.replace_fields(
-        l_dis=scat_l(rs.l_dis, f(0)),
-        l_speed=scat_l(rs.l_speed, f(p_speed0)),
-        l_flow=scat_l(rs.l_flow, row["flow"]),
-        l_route=scat_l(rs.l_route, rt),
-        l_rpos=scat_l(rs.l_rpos, 0),
-        l_nxt=scat_l(rs.l_nxt, nxt0), l_nxt3=scat_l(rs.l_nxt3, nxt3_0),
-        l_prev=scat_l(rs.l_prev, -1),
-        l_enter=scat_l(rs.l_enter, rs.step.astype(f) * dt),
-        l_pri=scat_l(rs.l_pri, row["pri"]),
-        l_uid=scat_l(rs.l_uid, row["uid"]),
-        l_last=scat_l(rs.l_last, last0),
-        l_custom=scat_l(rs.l_custom, f(0)),
-        l_hascustom=scat_l(rs.l_hascustom, False),
-        n_l=rs.n_l.at[el_lane].add(admit.astype(jnp.int32)),
+        l_dis=putc(rs.l_dis, 0.0),
+        l_speed=putc(rs.l_speed, p_speed0),
+        l_flow=put(rs.l_flow, vals[0]),
+        l_route=put(rs.l_route, vals[1]),
+        l_rpos=putc(rs.l_rpos, 0),
+        l_nxt=put(rs.l_nxt, vals[2]), l_nxt3=put(rs.l_nxt3, vals[3]),
+        l_prev=putc(rs.l_prev, -1),
+        l_enter=jnp.where(place, rs.step.astype(f) * dt, rs.l_enter),
+        l_pri=jnp.where(place, _from_hilo(vals[4], vals[5]), rs.l_pri),
+        l_uid=put(rs.l_uid, vals[6]),
+        l_last=jnp.where(place, vals[7] > 0.5, rs.l_last),
+        l_custom=putc(rs.l_custom, 0.0),
+        l_hascustom=putc(rs.l_hascustom, False),
+        n_l=rs.n_l + adm_lane.astype(jnp.int32),
         el_cursor=rs.el_cursor + admit.astype(jnp.int32))
 
     # =====================================================================
@@ -288,7 +306,6 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     tl_dis = _sel_slot(oh_tail, rs.l_dis)
     tl_prev = _sel_slot(oh_tail, rs.l_prev)
     tl_speed = _sel_slot(oh_tail, rs.l_speed)
-    tl_prih, tl_pril = _hilo(_sel_slot(oh_tail, rs.l_pri))
     tl_exists = rs.n_l > 0
 
     # link ring tail (overlap-rule leader candidates)
@@ -372,15 +389,11 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     end_tail_dis = Eend(ol_view(tl_dis))
     end_tail_prev = Eend(ol_view(tl_prev.astype(f))).astype(jnp.int32)
     end_tail_speed = Eend(ol_view(tl_speed))
-    end_tail_prih = Eend(ol_view(tl_prih))
-    end_tail_pril = Eend(ol_view(tl_pril))
     end_tail_exists = Eend(ol_view(tl_exists.astype(f))) > 0.5
 
     st_head_dis = Estart(h_dis[0])
     st_head_nxt = Estart(h_nxt[0].astype(f)).astype(jnp.int32)
     st_head_speed = Estart(h_speed[0])
-    st_head_prih = Estart(h_prih[0])
-    st_head_pril = Estart(h_pril[0])
     st_head_occ = Estart(h_occ[0].astype(f)) > 0.5
     st_len = Estart(il_len)
 
@@ -418,20 +431,13 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     w_p = wsel(kdis3)
     w_speed = wsel(kspd3)
     w_entf = wsel(jnp.minimum(kent3, 1 << 25).astype(f))
-    kprih, kpril = _hilo(kpri3)
-    w_prih = wsel(kprih)
-    w_pril = wsel(kpril)
     use_start = ~e_elig & ~ring_hit & s_ok[None]
     w_p = jnp.where(use_start, p_s[None], w_p)
     w_speed = jnp.where(use_start, st_head_speed[None], w_speed)
     w_entf = jnp.where(use_start, f(ENT_BIG), w_entf)
-    w_prih = jnp.where(use_start, st_head_prih[None], w_prih)
-    w_pril = jnp.where(use_start, st_head_pril[None], w_pril)
     w_p = jnp.where(e_elig, p_e[None], w_p)
     w_speed = jnp.where(e_elig, end_tail_speed[None], w_speed)
     w_entf = jnp.where(e_elig, f(ENT_BIG), w_entf)
-    w_prih = jnp.where(e_elig, end_tail_prih[None], w_prih)
-    w_pril = jnp.where(e_elig, end_tail_pril[None], w_pril)
     exists = e_elig | ring_hit | use_start
 
     ndist = d - w_p
@@ -462,7 +468,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         exists.astype(f), n_yield.astype(f), n_cleared.astype(f),
         jnp.broadcast_to(cyc_link[None].astype(f), (KC, LPI, G)),
         jnp.minimum(n_reach, 255).astype(f),   # ints <= 256 exact in bf16
-        ndist, w_entf, w_prih, w_pril], axis=0)
+        ndist, w_entf], axis=0)
     NF = fields.shape[0]
     NB = 5                           # bf16-safe leading channels
     if cfg.foe_via_perm:
@@ -487,7 +493,6 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     foe_reach = foe[4]
     foe_dist = foe[5]
     foe_ent = foe[6]
-    foe_ph, foe_plo = foe[7], foe[8]
     foe_dpos = foe_dist > 0
 
     # ---- per-row cross decisions (Cross::canPass, roadnet.cpp:604-660;
@@ -495,9 +500,9 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     t1 = net["lk_type"].reshape(LPI, G)
     t2 = net["lk_foetype"].reshape(KC, LPI, G)
     foelpi = net["lk_foelpi"].reshape(KC, LPI, G)
-    kc_iota = jnp.arange(KC, dtype=jnp.int32)[:, None, None]
+    lpi_self = jnp.arange(LPI, dtype=jnp.int32)[None, None, :, None]
 
-    def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant):
+    def cross_caps(dls, speed, my_ent_f, relevant):
         """Batched over a leading row axis: inputs (R, LPI, G), outputs
         (R, LPI, G); intermediates (R, KC, LPI, G) stay inside one fused
         loop (per-row calls emitted R separate fusion chains)."""
@@ -513,8 +518,12 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
                                      self_target[None, None],
                                      f(p_upa), dt), 255)
         fr = foe_reach[None]
-        pri_win = _pri_gt(my_ph[:, None], my_plo[:, None],
-                          foe_ph[None], foe_plo[None])
+        # final tie-break (reference: vehicle priority, roadnet.cpp:652 —
+        # reached only on an exact (reach, enterTime, distance) triple tie,
+        # which f32 crosses essentially never produce): a static link-id
+        # comparison gives the same one-side-passes guarantee without
+        # carrying 32-bit priorities through the foe exchange
+        pri_win = lpi_self > foelpi[None]
         same_rank_y = jnp.where(
             fr > sr, -1, jnp.where(
                 fr < sr, 1, jnp.where(
@@ -537,10 +546,11 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
             & relevant[:, None]
         fail = considered & ~passes
         any_fail = jnp.any(fail, axis=1)
-        ffk = jnp.argmax(fail, axis=1)
-        oh = kc_iota[None] == ffk[:, None]
-        ff_d = jnp.sum(jnp.where(oh, d[None], 0.0), axis=1)
-        ff_foe = jnp.sum(jnp.where(oh, foelpi[None], 0), axis=1)
+        # first (nearest) failing cross: crosses are distance-ASC, so the
+        # min failing distance IS the first (argmax+one-hot costs ~13 ms)
+        ff_d = jnp.min(jnp.where(fail, d[None], jnp.inf), axis=1)
+        ff_foe = jnp.max(jnp.where(fail & (d[None] == ff_d[:, None]),
+                                   foelpi[None], -1), axis=1)
         return any_fail, ff_d, ff_foe
 
     def isr_speed(dls, speed, lane_left, any_fail, ff_d, is_approach,
@@ -615,7 +625,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     R = min(cfg.SKC, SK)
     af_r, fd_r, ffo_r = cross_caps(
         kdis3[:R], kspd3[:R], jnp.minimum(kent3[:R], 1 << 25).astype(f),
-        kprih[:R], kpril[:R], occ_k3[:R])
+        occ_k3[:R])
     if SK > R:
         padz = lambda x, fill: jnp.concatenate(
             [x, jnp.full((SK - R, LPI, G), fill, x.dtype)], axis=0)
@@ -679,18 +689,15 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
     mine_ilgs = [h_occ[a] & (h_nxt[a] >= 0) for a in range(AP)]
 
-    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a],
-                               h_prih[a], h_pril[a]]) for a in range(AP)]
+    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a]])
+             for a in range(AP)]
     mine_lk = jnp.stack([c[0] for c in lk_ch]) > 0.5      # (AP, LPI, G)
     dis_lk = jnp.stack([c[1] for c in lk_ch])
     spd_lk = jnp.stack([c[2] for c in lk_ch])
-    prih_lk = jnp.stack([c[3] for c in lk_ch])
-    pril_lk = jnp.stack([c[4] for c in lk_ch])
     dls_ap = dis_lk - st_len[None]
     lane_left_lk = st_len[None] - dis_lk
     af_ap, fd_ap, ffo_ap = cross_caps(
-        dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)),
-        prih_lk, pril_lk, mine_lk)
+        dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)), mine_lk)
     v_isr_ap, red_ap = isr_speed(dls_ap, spd_lk, lane_left_lk, af_ap,
                                  fd_ap, True, avail_lk, can_enter_k)
     isr_rel_ap = mine_lk & (lane_left_lk <= approach)
@@ -816,32 +823,50 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     src_iota = jnp.broadcast_to(
         jnp.arange(NC, dtype=jnp.int32)[:, None], (NC, G))
     key = jnp.where(ef3, src_iota, NC)
-    route_pay = rs.k_route[:XKe].reshape(NC, G).astype(f)
-    rpos_pay = rs.k_rpos[:XKe].reshape(NC, G).astype(f)
-    endl_pay = jnp.broadcast_to(
-        jnp.take(ln_llocal, jnp.clip(net["lk_end_lane"], 0))
-        .reshape(1, LPI, G).astype(f), (XKe, LPI, G)).reshape(NC, G)
-    skey, s_route, s_rpos, s_endl = jax.lax.sort(
-        (key, route_pay, rpos_pay, endl_pay), dimension=0, num_keys=1)
-    c_valid = skey[:TI] < NC                               # (TI, G)
-    c_route = s_route[:TI].astype(jnp.int32)
-    c_np = s_rpos[:TI].astype(jnp.int32) + 1
-    c_nxt = rn_at(c_route, c_np, s_endl[:TI].astype(jnp.int32))
-    c_end2 = jnp.take(net["lk_end_lane"], jnp.clip(c_nxt - LNp, 0, LKp - 1))
-    c_nxt3 = jnp.where(c_nxt >= 0,
-                       rn_at(c_route, c_np + 1,
-                             jnp.take(ln_llocal, jnp.clip(c_end2, 0))), -1)
-    c_last = c_np >= jnp.take(net["route_len"],
-                              jnp.clip(c_route, 0, NR - 1)) - 1
-    # route results back to their (xs, link) rows: TI-pass one-hot select
+    # the combined route-table index is a pure function of (route, rpos+1,
+    # end-lane local idx) — nxt and the baked two-hop aux (ring_net
+    # route_aux) each need ONE gather at this index
+    endl_local = jnp.take(ln_llocal, jnp.clip(net["lk_end_lane"], 0)) \
+        .reshape(1, LPI, G)
+    gidx3 = ((jnp.clip(rs.k_route[:XKe].reshape(XKe, LPI, G), 0, NR - 1)
+              * RLEN + jnp.clip(rs.k_rpos[:XKe].reshape(XKe, LPI, G) + 1,
+                                0, RLEN - 1)) * MAXLPR
+             + jnp.clip(endl_local, 0, MAXLPR - 1)).reshape(NC, G)
+    skey, s_gidx = jax.lax.sort((key, gidx3), dimension=0, num_keys=1)
+    # stage 2: global compaction of the (TI, G) survivors to T2 rows so the
+    # dynamic gathers run on ~T2*B indices instead of TI*G*B
+    T2 = min(1024, TI * G)
+    flat_key = jnp.where(skey[:TI] < NC,
+                         jnp.arange(TI, dtype=jnp.int32)[:, None] * G
+                         + jnp.arange(G, dtype=jnp.int32)[None, :],
+                         TI * G).reshape(-1)
+    k2, g2 = jax.lax.sort(
+        (flat_key, s_gidx[:TI].reshape(-1)), dimension=0, num_keys=1)
+    v2 = k2[:T2] < TI * G
+    gi = jnp.clip(g2[:T2], 0, NR * RLEN * MAXLPR - 1)
+    if T2 < TI * G:
+        ov = ov | jnp.where(jnp.all(v2), OV_REMOVE, 0).astype(jnp.int32)
+    r_nxt = jnp.take(rn.reshape(-1), gi)
+    r_aux = jnp.take(net["route_aux"].reshape(-1), gi)
+    r_nxt3 = (r_aux >> 1) - 2
+    r_last = (r_aux & 1) > 0
+    # scatter back to the (TI, G) stage-1 grid, then to the (NC, G) rows
+    tgt2 = jnp.where(v2, jnp.clip(k2[:T2], 0, TI * G - 1), TI * G)
+    s_nxt = jnp.full(TI * G + 1, -1, jnp.int32).at[tgt2].set(
+        r_nxt, mode="drop")[:-1].reshape(TI, G)
+    s_nxt3 = jnp.full(TI * G + 1, -1, jnp.int32).at[tgt2].set(
+        r_nxt3, mode="drop")[:-1].reshape(TI, G)
+    s_last = jnp.zeros(TI * G + 1, bool).at[tgt2].set(
+        r_last, mode="drop")[:-1].reshape(TI, G)
     pay_nxt = jnp.full((NC, G), -1, jnp.int32)
     pay_nxt3 = jnp.full((NC, G), -1, jnp.int32)
     pay_last = jnp.zeros((NC, G), bool)
+    c_valid = skey[:TI] < NC
     for ti in range(TI):
         hit = (src_iota == skey[ti][None, :]) & c_valid[ti][None, :]
-        pay_nxt = jnp.where(hit, c_nxt[ti][None, :], pay_nxt)
-        pay_nxt3 = jnp.where(hit, c_nxt3[ti][None, :], pay_nxt3)
-        pay_last = jnp.where(hit, c_last[ti][None, :], pay_last)
+        pay_nxt = jnp.where(hit, s_nxt[ti][None, :], pay_nxt)
+        pay_nxt3 = jnp.where(hit, s_nxt3[ti][None, :], pay_nxt3)
+        pay_last = jnp.where(hit, s_last[ti][None, :], pay_last)
     pay_nxt = pay_nxt.reshape(XKe, LKp)
     pay_nxt3 = pay_nxt3.reshape(XKe, LKp)
     pay_last = pay_last.reshape(XKe, LKp)

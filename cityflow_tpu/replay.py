@@ -40,15 +40,70 @@ def write_roadnet_log(net, path: str):
 
 
 def _outline(inter):
-    # the frontend only needs a rough hull; use road endpoints offset by
-    # intersection width (the reference computes a convex hull,
-    # roadnet.cpp:750-818 — visual-only, not simulation state)
-    pts = [inter.point]
-    w = inter.width if not inter.virtual else 0.0
-    x, y = inter.point
-    for sx, sy in ((1, 1), (1, -1), (-1, -1), (-1, 1)):
-        pts.append((x + sx * w, y + sy * w))
-    return pts
+    """Intersection::getOutline (roadnet.cpp:750-818): convex hull of the
+    intersection center plus, per connected road, the two road-edge corner
+    points at the trim line and (when the road is long enough) the two
+    points deltaWidth further out. Graham scan with the reference's
+    lowest-y pivot and angle sort."""
+    import math
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1])
+
+    cx, cy = inter.point
+    pts = [(cx, cy)]
+    w = inter.width
+    for road in inter.roads:
+        sx, sy = road.start_intersection.point
+        ex, ey = road.end_intersection.point
+        dx, dy = ex - sx, ey - sy
+        ln = math.hypot(dx, dy) or 1.0
+        rdx, rdy = dx / ln, dy / ln
+        # Vector::normal() in the reference is (-y, x) (utility.cpp:68-70)
+        pdx, pdy = -rdy, rdx
+        if road.start_intersection is inter:
+            rdx, rdy = -rdx, -rdy
+        road_width = sum(l.width for l in road.lanes)
+        delta = max(0.5 * min(w, road_width), 5.0)
+        ax, ay = cx - rdx * w, cy - rdy * w
+        bx, by = ax - pdx * road_width, ay - pdy * road_width
+        pts.append((ax, ay))
+        pts.append((bx, by))
+        avg_len = (sum(l.length for l in road.lanes) / len(road.lanes)
+                   if road.lanes else 0.0)
+        if delta < avg_len:
+            pts.append((ax - rdx * delta, ay - rdy * delta))
+            pts.append((bx - rdx * delta, by - rdy * delta))
+
+    if len(pts) < 3:
+        return pts
+    i0 = min(range(len(pts)), key=lambda i: pts[i][1])
+    p0 = pts.pop(i0)
+    # libstdc++-exact sort: equal-angle ties (e.g. the duplicate pivot at
+    # atan2(0,0)=0) land in std::sort's order, which decides which of the
+    # tied points survives the scan
+    from cityflow_tpu.compiler.stdsort import std_sort
+    std_sort(pts, lambda a, b: (math.atan2(a[1] - p0[1], a[0] - p0[0])
+                                < math.atan2(b[1] - p0[1], b[0] - p0[0])))
+    stack = [p0]
+    for p in pts:
+        p2 = stack[-1]
+        if len(stack) < 2:
+            if p != p2:
+                stack.append(p)
+            continue
+        p1 = stack[-2]
+        # crossMultiply(point - p2, p2 - p1) >= 0 -> pop (reference's
+        # orientation test keeps a counter-clockwise hull)
+        while len(stack) > 1 and (
+                (p[0] - p2[0]) * (p2[1] - p1[1])
+                - (p[1] - p2[1]) * (p2[0] - p1[0])) >= 0:
+            stack.pop()
+            p2 = p1
+            if len(stack) > 1:
+                p1 = stack[-2]
+        stack.append(p)
+    return stack
 
 
 class PositionIndex:

@@ -122,7 +122,11 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
 
         loss, grads = jax.value_and_grad(td_loss)(
             params, obs, actions, rewards, obs_next)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+        # global-norm clip: raw TD grads diverge once the net fills up
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g)
+                             for g in jax.tree_util.tree_leaves(grads)))
+        scale = jnp.minimum(1.0, 5.0 / (gnorm + 1e-8))
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * scale * g,
                                         params, grads)
         metrics = dict(loss=loss, mean_reward=jnp.mean(rewards))
         return params, new_state, key, metrics

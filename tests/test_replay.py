@@ -58,3 +58,31 @@ def test_replay_files(tmp_path):
     eng.set_save_replay(False)
     eng.next_step()
     assert len(open(tmp_path / "replay2.txt").read().splitlines()) == 1
+
+
+def test_outline_matches_reference_hull():
+    """Intersection outlines equal the reference convex hull
+    (Intersection::getOutline, roadnet.cpp:750-818; golden extracted from
+    the unmodified reference's roadnetLogFile on the 2x2 fixture)."""
+    import json
+    import numpy as np
+    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu.replay import _outline
+
+    net = compile_scenario(os.path.join(HERE, "fixtures", "config_2x2.json"))
+    with open(os.path.join(HERE, "goldens", "outline_2x2.json")) as f:
+        gold = json.load(f)
+    for inter in net.host.net.intersections:
+        ours = [c for p in _outline(inter) for c in p]
+        ref = gold[inter.id]
+        assert len(ours) == len(ref), (inter.id, len(ours), len(ref))
+        # same polygon up to cyclic rotation (pivot ties may rotate it)
+        ours_pts = [tuple(ours[i:i+2]) for i in range(0, len(ours), 2)]
+        ref_pts = [tuple(ref[i:i+2]) for i in range(0, len(ref), 2)]
+        ok = False
+        for r in range(len(ref_pts)):
+            rot = ref_pts[r:] + ref_pts[:r]
+            if np.allclose(np.asarray(rot), np.asarray(ours_pts), atol=1e-6):
+                ok = True
+                break
+        assert ok, (inter.id, ours_pts[:3], ref_pts[:3])
