@@ -141,9 +141,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--lane-slots", type=int, default=16,
-                    help="ring lane capacity (jam capacity needs ~40; 16 "
-                         "is verified overflow-free for this horizon)")
+    ap.add_argument("--lane-slots", type=int, default=24,
+                    help="ring lane capacity (full jam capacity is ~40; 24 "
+                         "is verified overflow-free for the default "
+                         "30x30/64-step horizon)")
     ap.add_argument("--max-vehicles", type=int, default=4096)
     ap.add_argument("--ref-steps-per-s", type=float, default=None)
     args = ap.parse_args()

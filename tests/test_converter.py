@@ -1,0 +1,107 @@
+"""SUMO converter: tlLogic conversion + round trips (reference
+tools/converter/converter_v2.py equivalents; VERDICT r1 item 7)."""
+
+import json
+import os
+import sys
+import xml.etree.ElementTree as ET
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools", "converter"))
+
+import converter
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+NET_XML = os.path.join(HERE, "fixtures", "sumo_corridor.net.xml")
+
+
+def _convert(tmp_path):
+    out = str(tmp_path / "roadnet_sumo.json")
+    converter.sumo_to_cityflow(NET_XML, out)
+    return json.load(open(out)), out
+
+
+def test_tl_program_conversion(tmp_path):
+    doc, _ = _convert(tmp_path)
+    inters = {i["id"]: i for i in doc["intersections"]}
+    n1 = inters["intersection_n1"]
+    n2 = inters["intersection_n2"]
+    assert not n1["virtual"] and not n2["virtual"]
+    ph1 = n1["trafficLight"]["lightphases"]
+    ph2 = n2["trafficLight"]["lightphases"]
+    assert len(ph1) == 4 and len(ph2) == 2      # not collapsed to all-green
+    rls = n1["roadLinks"]
+    # phase 0 "GGGrrr": the west-approach movements move, the south ones don't
+    avail0 = set(ph1[0]["availableRoadLinks"])
+    avail2 = set(ph1[2]["availableRoadLinks"])
+    west = {i for i, rl in enumerate(rls) if rl["startRoad"].endswith("we1")}
+    south = {i for i, rl in enumerate(rls) if rl["startRoad"].endswith("s1n")}
+    assert west and south
+    assert west <= avail0 and not (south & avail0)
+    assert south <= avail2 and not (west & avail2)
+    # yellow phases are restrictive
+    assert ph1[1]["availableRoadLinks"] == []
+    assert ph1[3]["availableRoadLinks"] == []
+
+
+def test_converted_net_compiles_and_runs(tmp_path):
+    doc, out = _convert(tmp_path)
+    flow = [{
+        "vehicle": {"length": 5.0, "width": 2.0, "maxPosAcc": 2.0,
+                    "maxNegAcc": 4.5, "usualPosAcc": 2.0, "usualNegAcc": 4.5,
+                    "minGap": 2.5, "maxSpeed": 11.0, "headwayTime": 1.5},
+        "route": [r["id"] for r in doc["roads"]
+                  if r["id"].startswith("road_we1")]
+        + [r["id"] for r in doc["roads"] if r["id"].startswith("road_e12")],
+        "interval": 5.0, "startTime": 0, "endTime": -1}]
+    fp = tmp_path / "flow_sumo.json"
+    json.dump(flow, open(fp, "w"))
+    cfg = {"interval": 1.0, "seed": 0, "dir": str(tmp_path) + "/",
+           "roadnetFile": "roadnet_sumo.json", "flowFile": "flow_sumo.json",
+           "rlTrafficLight": False, "laneChange": False, "saveReplay": False}
+    cp = tmp_path / "config_sumo.json"
+    json.dump(cfg, open(cp, "w"))
+    from cityflow_tpu.engine import Engine
+    eng = Engine(str(cp))
+    for _ in range(30):
+        eng.next_step()
+    assert eng.get_vehicle_count() > 0
+
+
+def test_cityflow_to_sumo_round_trip(tmp_path):
+    # cityflow 2x2 (signalized grid) -> plain XML -> counts + phases survive
+    src = os.path.join(HERE, "fixtures", "roadnet_2x2.json")
+    doc = json.load(open(src))
+    paths = converter.cityflow_to_sumo(src, str(tmp_path / "out"))
+    nod, edg, con, tll = [ET.parse(p).getroot() for p in paths]
+    assert len(nod.findall("node")) == len(doc["intersections"])
+    assert len(edg.findall("edge")) == len(doc["roads"])
+    n_ll = sum(len(rl["laneLinks"]) for i in doc["intersections"]
+               for rl in i.get("roadLinks", []))
+    assert len(con.findall("connection")) == n_ll
+    tl_by_id = {t.get("id"): t for t in tll.findall("tlLogic")}
+    for i in doc["intersections"]:
+        phases = i.get("trafficLight", {}).get("lightphases", [])
+        if not i["virtual"] and len(phases) > 1:
+            t = tl_by_id[i["id"]]
+            assert len(t.findall("phase")) == len(phases)
+            # green sets must match availableRoadLinks exactly
+            conn_link = []
+            for ri, rl in enumerate(i["roadLinks"]):
+                conn_link += [ri] * len(rl["laneLinks"])
+            for ph, row in zip(phases, t.findall("phase")):
+                state = row.get("state")
+                avail = set(ph["availableRoadLinks"])
+                for c, ri in enumerate(conn_link):
+                    assert (state[c] == "G") == (ri in avail)
+
+
+def test_sumo_round_trip_preserves_phases(tmp_path):
+    # sumo -> cityflow -> sumo: tlLogic phase structure preserved
+    doc, out = _convert(tmp_path)
+    paths = converter.cityflow_to_sumo(out, str(tmp_path / "rt"))
+    tll = ET.parse(paths[3]).getroot()
+    tl_by_id = {t.get("id"): t for t in tll.findall("tlLogic")}
+    assert len(tl_by_id["intersection_n1"].findall("phase")) == 4
+    assert len(tl_by_id["intersection_n2"].findall("phase")) == 2

@@ -93,7 +93,8 @@ def sumo_to_cityflow(net_xml, out_json):
         junctions[frm]["roads"].append(rid)
         junctions[to]["roads"].append(rid)
 
-    # connections -> roadLinks grouped by (from edge, to edge)
+    # connections -> roadLinks grouped by (from edge, to edge, direction);
+    # keep each connection's tlLogic link index for phase conversion
     DIRMAP = {"s": "go_straight", "t": "turn_left", "l": "turn_left",
               "r": "turn_right", "L": "turn_left", "R": "turn_right"}
     groups = defaultdict(list)
@@ -102,9 +103,12 @@ def sumo_to_cityflow(net_xml, out_json):
         if fe not in roads or te not in roads:
             continue
         d = DIRMAP.get(c.get("dir", "s"), "go_straight")
+        li = c.get("linkIndex")
         groups[(fe, te, d)].append(
-            (int(c.get("fromLane")), int(c.get("toLane"))))
+            (int(c.get("fromLane")), int(c.get("toLane")),
+             c.get("tl"), int(li) if li is not None else -1))
 
+    rl_tl_links = defaultdict(list)     # junction id -> [set(linkIndex)]
     for (fe, te, d), pairs in groups.items():
         frm_j = roads[fe]["endIntersection"][len("intersection_"):]
         j = junctions.get(frm_j)
@@ -113,26 +117,49 @@ def sumo_to_cityflow(net_xml, out_json):
         n_from = len(roads[fe]["lanes"])
         n_to = len(roads[te]["lanes"])
         lls = []
-        for fl, tl in pairs:
+        link_idx = set()
+        for fl, tl, tlid, li in pairs:
             # reverse lane indexing (see above)
             sfl, stl = n_from - 1 - fl, n_to - 1 - tl
             if 0 <= sfl < n_from and 0 <= stl < n_to:
                 lls.append({"startLaneIndex": sfl, "endLaneIndex": stl,
                             "points": []})
+                if li >= 0:
+                    link_idx.add(li)
         if not lls:
             continue
         j["trafficLight"]["roadLinkIndices"].append(len(j["roadLinks"]))
         j["roadLinks"].append({
             "type": d, "startRoad": roads[fe]["id"],
             "endRoad": roads[te]["id"], "laneLinks": lls})
+        rl_tl_links[frm_j].append(link_idx)
         j["virtual"] = False
 
-    # traffic lights: single all-green phase per controlled junction
-    for j in junctions.values():
+    # traffic lights: convert tlLogic programs (reference
+    # converter_v2.py:650-800 equivalent). A roadLink is available in a
+    # phase iff every one of its connections shows G/g in the state string;
+    # yellow/red phases become restrictive phases. Junctions without a
+    # tlLogic keep a single all-green phase.
+    tls = {t.get("id"): t for t in root.iter("tlLogic")}
+    for jid, j in junctions.items():
         n = len(j["roadLinks"])
-        if n and not j["trafficLight"]["lightphases"]:
-            j["trafficLight"]["lightphases"].append(
-                {"time": 30, "availableRoadLinks": list(range(n))})
+        if not n:
+            continue
+        phases = []
+        tl = tls.get(jid)
+        if tl is not None and any(rl_tl_links.get(jid, [])):
+            for ph in tl.findall("phase"):
+                state = ph.get("state", "")
+                avail = []
+                for ri, links in enumerate(rl_tl_links[jid]):
+                    if links and all(li < len(state) and state[li] in "Gg"
+                                     for li in links):
+                        avail.append(ri)
+                phases.append({"time": float(ph.get("duration", 30)),
+                               "availableRoadLinks": avail})
+        if not phases:
+            phases = [{"time": 30, "availableRoadLinks": list(range(n))}]
+        j["trafficLight"]["lightphases"] = phases
         for rl in j["roadLinks"]:
             for ll in rl["laneLinks"]:
                 if not ll["points"]:
@@ -195,24 +222,85 @@ def sumo_flow_to_cityflow(rou_xml, edge_map, out_json, default_interval=2.0):
     print(f"wrote {out_json}: {len(flows)} flows")
 
 
-def cityflow_to_sumo(roadnet_json, out_xml):
+def cityflow_to_sumo(roadnet_json, out_prefix):
+    """CityFlow roadnet -> netconvert plain-XML set: <prefix>.nod.xml,
+    .edg.xml (with per-lane shapes/speeds), .con.xml, .tll.xml (tlLogic
+    rebuilt from lightphases). Equivalent of the reference
+    converter_v2.cityflow2sumo_net (converter_v2.py:935-1117), without the
+    sumolib/sympy dependencies. Finish with:
+      netconvert --node-files p.nod.xml --edge-files p.edg.xml \\
+                 --connection-files p.con.xml --tllogic-files p.tll.xml"""
     doc = json.load(open(roadnet_json))
-    nodes, edges = [], []
+    if out_prefix.endswith(".xml"):
+        out_prefix = out_prefix[:-4]
+    nodes, edges, cons, tlls = [], [], [], []
+    inters = {i["id"]: i for i in doc["intersections"]}
+    roads = {r["id"]: r for r in doc["roads"]}
     for i in doc["intersections"]:
+        signal = (not i["virtual"]
+                  and len(i.get("trafficLight", {})
+                          .get("lightphases", [])) > 1)
+        typ = "traffic_light" if signal else (
+            "priority" if not i["virtual"] else "unregulated")
         nodes.append(f'  <node id="{i["id"]}" x="{i["point"]["x"]}" '
-                     f'y="{i["point"]["y"]}" '
-                     f'type="{"priority" if not i["virtual"] else "unregulated"}"/>')
+                     f'y="{i["point"]["y"]}" type="{typ}"/>')
     for r in doc["roads"]:
         n = len(r["lanes"])
-        speed = r["lanes"][0]["maxSpeed"]
-        edges.append(f'  <edge id="{r["id"]}" from="{r["startIntersection"]}" '
-                     f'to="{r["endIntersection"]}" numLanes="{n}" '
-                     f'speed="{speed}"/>')
-    with open(out_xml, "w") as f:
-        f.write("<nodes>\n" + "\n".join(nodes) + "\n</nodes>\n"
-                "<!-- split: feed nodes/edges to netconvert -->\n"
-                "<edges>\n" + "\n".join(edges) + "\n</edges>\n")
-    print(f"wrote {out_xml} (plain nodes+edges; run netconvert to finish)")
+        shape = " ".join(f'{p["x"]},{p["y"]}' for p in r["points"])
+        lane_rows = []
+        # CityFlow lane 0 innermost -> SUMO lane 0 rightmost
+        for si, lane in enumerate(reversed(r["lanes"])):
+            lane_rows.append(
+                f'    <lane index="{si}" speed="{lane["maxSpeed"]}" '
+                f'width="{lane.get("width", 3.2)}"/>')
+        edges.append(
+            f'  <edge id="{r["id"]}" from="{r["startIntersection"]}" '
+            f'to="{r["endIntersection"]}" numLanes="{n}" '
+            f'shape="{shape}" spreadType="center">\n'
+            + "\n".join(lane_rows) + "\n  </edge>")
+    TYPE2DIR = {"go_straight": "s", "turn_left": "l", "turn_right": "r"}
+    for i in doc["intersections"]:
+        rls = i.get("roadLinks", [])
+        link_index = 0
+        states = None
+        phases = i.get("trafficLight", {}).get("lightphases", [])
+        signal = not i["virtual"] and len(phases) > 1
+        conn_link = []           # per connection: roadlink idx
+        for ri, rl in enumerate(rls):
+            n_from = len(roads[rl["startRoad"]]["lanes"])
+            n_to = len(roads[rl["endRoad"]]["lanes"])
+            for ll in rl["laneLinks"]:
+                fl = n_from - 1 - ll["startLaneIndex"]
+                tl = n_to - 1 - ll["endLaneIndex"]
+                extra = (f' tl="{i["id"]}" linkIndex="{link_index}"'
+                         if signal else "")
+                cons.append(
+                    f'  <connection from="{rl["startRoad"]}" '
+                    f'to="{rl["endRoad"]}" fromLane="{fl}" toLane="{tl}" '
+                    f'dir="{TYPE2DIR.get(rl["type"], "s")}"{extra}/>')
+                conn_link.append(ri)
+                link_index += 1
+        if signal and link_index:
+            rows = []
+            for ph in phases:
+                avail = set(ph.get("availableRoadLinks", []))
+                state = "".join("G" if conn_link[c] in avail else "r"
+                                for c in range(link_index))
+                rows.append(f'    <phase duration="{ph["time"]}" '
+                            f'state="{state}"/>')
+            tlls.append(f'  <tlLogic id="{i["id"]}" type="static" '
+                        f'programID="0" offset="0">\n'
+                        + "\n".join(rows) + "\n  </tlLogic>")
+    def w(suffix, tag, rows):
+        path = f"{out_prefix}.{suffix}"
+        with open(path, "w") as fh:
+            fh.write(f"<{tag}>\n" + "\n".join(rows) + f"\n</{tag}>\n")
+        return path
+    paths = [w("nod.xml", "nodes", nodes), w("edg.xml", "edges", edges),
+             w("con.xml", "connections", cons),
+             w("tll.xml", "tlLogics", tlls)]
+    print("wrote", ", ".join(paths))
+    return paths
 
 
 def main():
