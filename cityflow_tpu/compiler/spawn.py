@@ -68,6 +68,7 @@ class SpawnGenerator:
         self._base_seed = seed
         self.rng = MT19937(seed)
         self.drawn = set()
+        self.priority_collisions = 0
         self.fs = FlowRuntime.fresh(net)
         self.next_step = 0            # first ungenerated step
         self.max_per_step = 1
@@ -114,11 +115,19 @@ class SpawnGenerator:
 
     # -- mt19937 draw helpers -------------------------------------------------
     def _draw_priority(self) -> int:
-        # while (engine->checkPriority(priority = engine->rnd()));  vehicle.cpp:45
+        # while (engine->checkPriority(priority = engine->rnd()));
+        # vehicle.cpp:45. The reference redraws only when the priority
+        # collides with a vehicle STILL IN THE POOL (removed vehicles free
+        # theirs); the host replay pre-generates spawns and cannot know
+        # removal times, so on a collision with an ever-drawn value we keep
+        # the draw — the colliding vehicle has almost surely finished
+        # (a live collision needs two of ~V active vehicles in 2^32, while
+        # ever-drawn collisions appear after ~2^16 spawns). The count is
+        # tracked so exact-mode users can detect the residual risk.
         p = self.rng()
         p_signed = p - 2**32 if p >= 2**31 else p
-        assert p_signed not in self.drawn, \
-            "mt19937 priority collision (not supported by host replay)"
+        if p_signed in self.drawn:
+            self.priority_collisions += 1
         self.drawn.add(p_signed)
         return p_signed
 
