@@ -163,8 +163,10 @@ def step_line(engine, cache) -> str:
         vid = engine._veh_id(int(cache["uid"][s]))
         ln = float(engine.state.params[s, 1])
         wd = float(engine.state.params[s, 2])
-        parts.append(f"{pt[0]:.6g} {pt[1]:.6g} {ang:.6g} {vid} {lc} "
-                     f"{ln:.6g} {wd:.6g},")
+        # shortest round-trip formatting = the reference's milo dtoa
+        # (double2string, utility.h:74-79); python float repr matches it
+        parts.append(f"{float(pt[0])!r} {float(pt[1])!r} {float(ang)!r} "
+                     f"{vid} {lc} {float(ln)!r} {float(wd)!r},")
     parts.append(";")
 
     phase = np.asarray(engine.state.phase)

@@ -86,3 +86,62 @@ def test_outline_matches_reference_hull():
                 ok = True
                 break
         assert ok, (inter.id, ours_pts[:3], ref_pts[:3])
+
+
+def test_replay_lines_match_reference():
+    """Our replay text lines vs the unmodified reference's replayLogFile on
+    the 2x2 fixture (exact mode): same vehicles, positions/angles to 1e-6,
+    identical per-road signal sections (Engine::updateLog,
+    engine.cpp:518-554)."""
+    import gzip
+    cfg = {
+        "interval": 1.0, "seed": 0,
+        "dir": os.path.join(HERE, "fixtures") + "/",
+        "roadnetFile": "roadnet_2x2.json", "flowFile": "flow_2x2.json",
+        "rlTrafficLight": False, "laneChange": False, "saveReplay": True,
+    }
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        cfg["roadnetLogFile"] = os.path.join(td, "rlog.json")
+        cfg["replayLogFile"] = os.path.join(td, "replay.txt")
+        cp = os.path.join(td, "config.json")
+        json.dump(cfg, open(cp, "w"))
+        from cityflow_tpu.engine import Engine
+        eng = Engine(cp)
+        for _ in range(60):
+            eng.next_step()
+        eng.set_save_replay(False)   # flush
+        mine = open(cfg["replayLogFile"]).read().splitlines()
+    ref = gzip.open(os.path.join(HERE, "goldens", "replay_2x2_60.txt.gz"),
+                    "rt").read().splitlines()
+    assert len(mine) == len(ref) == 60
+
+    def parse(line):
+        veh_part, road_part = line.split(";", 1)
+        vehs = {}
+        for rec in veh_part.split(","):
+            if not rec.strip():
+                continue
+            x, y, ang, vid, lc, ln, w = rec.split()
+            vehs[vid] = (float(x), float(y), float(ang), int(lc),
+                         float(ln), float(w))
+        roads = {}
+        for rec in road_part.split(","):
+            if not rec.strip():
+                continue
+            parts = rec.split()
+            roads[parts[0]] = parts[1:]
+        return vehs, roads
+
+    for t, (lm, lr) in enumerate(zip(mine, ref), 1):
+        vm, rm = parse(lm)
+        vr, rr = parse(lr)
+        assert set(vm) == set(vr), (t, set(vm) ^ set(vr))
+        for vid in vr:
+            a, b = vm[vid], vr[vid]
+            assert all(abs(x - y) <= 1e-6 for x, y in
+                       zip(a[:3], b[:3])), (t, vid, a, b)
+            assert a[3:] == b[3:], (t, vid, a, b)
+        assert rm == rr, (t, {k: (rm.get(k), rr.get(k))
+                              for k in set(rm) | set(rr)
+                              if rm.get(k) != rr.get(k)})

@@ -90,13 +90,14 @@ def test_sumo_converter(tmp_path):
     fl = json.load(open(tmp_path / "flow.json"))
     assert fl and fl[0]["interval"] == 5.0
     assert fl[0]["route"] == ["road_e1", "road_e2"]
-    # reverse direction produces plain-XML skeleton
+    # reverse direction produces the netconvert plain-XML set
     subprocess.run(
         [sys.executable, conv, "--reverse",
          "--cityflownet", str(tmp_path / "roadnet.json"),
-         "--sumonet", str(tmp_path / "out.xml")],
+         "--sumonet", str(tmp_path / "out")],
         check=True, capture_output=True)
-    assert "<edge id=" in (tmp_path / "out.xml").read_text()
+    assert "<edge id=" in (tmp_path / "out.edg.xml").read_text()
+    assert (tmp_path / "out.con.xml").exists()
 
 
 def test_mt19937_matches_std():
