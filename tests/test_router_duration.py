@@ -91,3 +91,41 @@ def test_duration_reroute_api(tmp_path):
             moved += 1
     eng.next_step()
     assert eng.get_vehicle_count() > 0
+
+
+def test_history_durations_match_oracle(tmp_path):
+    """Road::getAverageDuration per road per step vs the unmodified
+    reference (golden from tools/oracle/dump_history.cpp on the 2x2
+    fixture): history vehicle sums must be EQUAL, durations equal to
+    1e-9 relative (we keep speed sums where the reference keeps
+    (num, avg) pairs — one extra rounding per entry)."""
+    import gzip
+    import math
+    from cityflow_tpu.engine import Engine
+    with open(os.path.join(HERE, "fixtures", "config_2x2.json")) as f:
+        cfg = json.load(f)
+    cfg["routerType"] = "DURATION"
+    p = tmp_path / "config_2x2_dur.json"
+    json.dump(cfg, open(p, "w"))
+    eng = Engine(str(p))
+    gold = [json.loads(l) for l in gzip.open(
+        os.path.join(HERE, "goldens", "history_2x2_40.jsonl.gz"), "rt")]
+    road_index = {r.id: r.index for r in eng.net.host.net.roads}
+    for rec in gold:
+        eng.next_step()
+        durs = eng._road_durations()
+        nums, _ = __import__("jax").device_get(
+            (eng.state.hist_num, eng.state.hist_ssum))
+        for rid, ref_num, ref_dur in rec["roads"]:
+            ri = road_index[rid]
+            road = eng.net.host.net.roads[ri]
+            my_num = sum(int(nums[l.index]) for l in road.lanes)
+            assert my_num == ref_num, (rec["t"], rid, my_num, ref_num)
+            my_dur = durs[ri]
+            if ref_dur < 0:
+                assert my_dur < 0, (rec["t"], rid, my_dur)
+            elif math.isinf(ref_dur):
+                assert math.isinf(my_dur)
+            else:
+                assert abs(my_dur - ref_dur) <= 1e-9 * max(abs(ref_dur), 1), \
+                    (rec["t"], rid, my_dur, ref_dur)
