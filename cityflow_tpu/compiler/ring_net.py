@@ -554,6 +554,7 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     entry = np.array(sorted(els), np.int64) if els else np.zeros(0, np.int64)
     meta.entry_lanes = entry
     tb["el_lane"] = entry.astype(np.int32)
+    tb["lane_perm"] = lane_pos.astype(np.int32)   # original lane id -> ring
     # one-hot (LNp, EL) spread for admission writes (13 scalar-core
     # scatters per step otherwise)
     EL = max(len(entry), 1)
