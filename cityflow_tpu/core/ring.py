@@ -306,6 +306,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     tl_dis = _sel_slot(oh_tail, rs.l_dis)
     tl_prev = _sel_slot(oh_tail, rs.l_prev)
     tl_speed = _sel_slot(oh_tail, rs.l_speed)
+    tl_prih, tl_pril = _hilo(_sel_slot(oh_tail, rs.l_pri))
     tl_exists = rs.n_l > 0
 
     # link ring tail (overlap-rule leader candidates)
@@ -389,11 +390,15 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     end_tail_dis = Eend(ol_view(tl_dis))
     end_tail_prev = Eend(ol_view(tl_prev.astype(f))).astype(jnp.int32)
     end_tail_speed = Eend(ol_view(tl_speed))
+    end_tail_prih = Eend(ol_view(tl_prih))
+    end_tail_pril = Eend(ol_view(tl_pril))
     end_tail_exists = Eend(ol_view(tl_exists.astype(f))) > 0.5
 
     st_head_dis = Estart(h_dis[0])
     st_head_nxt = Estart(h_nxt[0].astype(f)).astype(jnp.int32)
     st_head_speed = Estart(h_speed[0])
+    st_head_prih = Estart(h_prih[0])
+    st_head_pril = Estart(h_pril[0])
     st_head_occ = Estart(h_occ[0].astype(f)) > 0.5
     st_len = Estart(il_len)
 
@@ -431,13 +436,20 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     w_p = wsel(kdis3)
     w_speed = wsel(kspd3)
     w_entf = wsel(jnp.minimum(kent3, 1 << 25).astype(f))
+    kprih, kpril = _hilo(kpri3)
+    w_prih = wsel(kprih)
+    w_pril = wsel(kpril)
     use_start = ~e_elig & ~ring_hit & s_ok[None]
     w_p = jnp.where(use_start, p_s[None], w_p)
     w_speed = jnp.where(use_start, st_head_speed[None], w_speed)
     w_entf = jnp.where(use_start, f(ENT_BIG), w_entf)
+    w_prih = jnp.where(use_start, st_head_prih[None], w_prih)
+    w_pril = jnp.where(use_start, st_head_pril[None], w_pril)
     w_p = jnp.where(e_elig, p_e[None], w_p)
     w_speed = jnp.where(e_elig, end_tail_speed[None], w_speed)
     w_entf = jnp.where(e_elig, f(ENT_BIG), w_entf)
+    w_prih = jnp.where(e_elig, end_tail_prih[None], w_prih)
+    w_pril = jnp.where(e_elig, end_tail_pril[None], w_pril)
     exists = e_elig | ring_hit | use_start
 
     ndist = d - w_p
@@ -468,7 +480,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         exists.astype(f), n_yield.astype(f), n_cleared.astype(f),
         jnp.broadcast_to(cyc_link[None].astype(f), (KC, LPI, G)),
         jnp.minimum(n_reach, 255).astype(f),   # ints <= 256 exact in bf16
-        ndist, w_entf], axis=0)
+        ndist, w_entf, w_prih, w_pril], axis=0)
     NF = fields.shape[0]
     NB = 5                           # bf16-safe leading channels
     if cfg.foe_via_perm:
@@ -493,6 +505,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     foe_reach = foe[4]
     foe_dist = foe[5]
     foe_ent = foe[6]
+    foe_ph, foe_plo = foe[7], foe[8]
     foe_dpos = foe_dist > 0
 
     # ---- per-row cross decisions (Cross::canPass, roadnet.cpp:604-660;
@@ -500,9 +513,9 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     t1 = net["lk_type"].reshape(LPI, G)
     t2 = net["lk_foetype"].reshape(KC, LPI, G)
     foelpi = net["lk_foelpi"].reshape(KC, LPI, G)
-    lpi_self = jnp.arange(LPI, dtype=jnp.int32)[None, None, :, None]
 
-    def cross_caps(dls, speed, my_ent_f, relevant):
+
+    def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant):
         """Batched over a leading row axis: inputs (R, LPI, G), outputs
         (R, LPI, G); intermediates (R, KC, LPI, G) stay inside one fused
         loop (per-row calls emitted R separate fusion chains)."""
@@ -518,12 +531,12 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
                                      self_target[None, None],
                                      f(p_upa), dt), 255)
         fr = foe_reach[None]
-        # final tie-break (reference: vehicle priority, roadnet.cpp:652 —
-        # reached only on an exact (reach, enterTime, distance) triple tie,
-        # which f32 crosses essentially never produce): a static link-id
-        # comparison gives the same one-side-passes guarantee without
-        # carrying 32-bit priorities through the foe exchange
-        pri_win = lpi_self > foelpi[None]
+        # final tie-break: vehicle priority (roadnet.cpp:652). Symmetric
+        # grids hit exact (reach, enterTime, distance) triple ties
+        # constantly, so this must be the reference's comparison; the
+        # 32-bit priorities ride the exchange as exact 16-bit f32 halves
+        pri_win = _pri_gt(my_ph[:, None], my_plo[:, None],
+                          foe_ph[None], foe_plo[None])
         same_rank_y = jnp.where(
             fr > sr, -1, jnp.where(
                 fr < sr, 1, jnp.where(
@@ -625,7 +638,7 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     R = min(cfg.SKC, SK)
     af_r, fd_r, ffo_r = cross_caps(
         kdis3[:R], kspd3[:R], jnp.minimum(kent3[:R], 1 << 25).astype(f),
-        occ_k3[:R])
+        kprih[:R], kpril[:R], occ_k3[:R])
     if SK > R:
         padz = lambda x, fill: jnp.concatenate(
             [x, jnp.full((SK - R, LPI, G), fill, x.dtype)], axis=0)
@@ -689,15 +702,18 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
     ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
     mine_ilgs = [h_occ[a] & (h_nxt[a] >= 0) for a in range(AP)]
 
-    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a]])
-             for a in range(AP)]
+    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a],
+                               h_prih[a], h_pril[a]]) for a in range(AP)]
     mine_lk = jnp.stack([c[0] for c in lk_ch]) > 0.5      # (AP, LPI, G)
     dis_lk = jnp.stack([c[1] for c in lk_ch])
     spd_lk = jnp.stack([c[2] for c in lk_ch])
+    prih_lk = jnp.stack([c[3] for c in lk_ch])
+    pril_lk = jnp.stack([c[4] for c in lk_ch])
     dls_ap = dis_lk - st_len[None]
     lane_left_lk = st_len[None] - dis_lk
     af_ap, fd_ap, ffo_ap = cross_caps(
-        dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)), mine_lk)
+        dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)),
+        prih_lk, pril_lk, mine_lk)
     v_isr_ap, red_ap = isr_speed(dls_ap, spd_lk, lane_left_lk, af_ap,
                                  fd_ap, True, avail_lk, can_enter_k)
     isr_rel_ap = mine_lk & (lane_left_lk <= approach)
