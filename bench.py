@@ -27,7 +27,8 @@ def run_ring(args, net):
     import jax
     import jax.numpy as jnp
     from cityflow_tpu import ring_sim
-    from cityflow_tpu.core.ring import ring_step
+    from cityflow_tpu.core.ring import (
+        ring_step_batched, ring_step_p1_batched, ring_step_p2_batched)
 
     t0 = time.time()
     sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
@@ -38,8 +39,16 @@ def run_ring(args, net):
     bstate = jax.tree_util.tree_map(
         lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
         if hasattr(x, "shape") else x, st0)
-    step_b = jax.jit(jax.vmap(
-        lambda s: ring_step.__wrapped__(sim.tables, sim.cfg, s, sim.q)))
+    if net.num_links > 16000:
+        # split compilation: the monolithic 30x30 program exceeds
+        # practical XLA compile budgets on the tunneled backend; tables
+        # ride as jit arguments (constants bloat compile + cache load)
+        def step_b(s):
+            s, m = ring_step_p1_batched(sim.tables, sim.cfg, s, sim.q)
+            return ring_step_p2_batched(sim.tables, sim.cfg, s, m)
+    else:
+        def step_b(s):
+            return ring_step_batched(sim.tables, sim.cfg, s, sim.q)
     t0 = time.time()
     bstate = jax.block_until_ready(step_b(bstate))
     compile_s = time.time() - t0

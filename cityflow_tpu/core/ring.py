@@ -198,8 +198,8 @@ def _shifted_exchange(rows, n_out, shifts, gid, res_j, res_src):
 # the step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1, 4))
-def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
+def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
+                  debug: bool = False):
     """One Engine::nextStep (engine.cpp:566-594) in ring layout;
     `q` = per-entry-lane spawn queues (host mt19937 replay).
     With debug=True also returns a dict of intermediates (tests only)."""
@@ -779,6 +779,96 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         new_dis_l = new_dis_l.at[a].set(
             jnp.where(use, got[:, 3 * a + 1], new_dis_l[a]))
 
+    mid = dict(
+        inl=inl,
+        nd_k3=nd_k3, ns_k3=ns_k3,
+        new_dis_l=new_dis_l, new_spd_l=new_spd_l,
+        k_fail=jnp.stack(k_fail_all) if isinstance(k_fail_all, list)
+        else k_fail_all,
+        k_fffoe=jnp.stack(k_fffoe_all) if isinstance(k_fffoe_all, list)
+        else k_fffoe_all,
+        ap_spd=jnp.stack([o["spd"] for o in ap_out]),
+        ap_dis=jnp.stack([o["dis"] for o in ap_out]),
+        ap_fail=jnp.stack([o["fail_lk"] for o in ap_out]),
+        ap_ffo=jnp.stack([o["ffo_lk"] for o in ap_out]),
+        ap_red=jnp.stack([o["red_lk"] for o in ap_out]),
+        ov=ov)
+    return rs, mid, dbg
+
+
+def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
+    """Phase 4: transfers / removals / ring commits / lights. Split from
+    the notify/decision phase so each half compiles (and caches) as its
+    own executable — the monolithic 30x30 program pushed past practical
+    XLA compile budgets on the tunneled backend."""
+    f = jnp.float32
+    dt = cfg.dt
+    SL, SK, LNp, LKp = cfg.SL, cfg.SK, cfg.LNp, cfg.LKp
+    G, LPI, KC, IL, OL, AP = cfg.G, cfg.LPI, cfg.KC, cfg.IL, cfg.OL, cfg.AP
+    ov = mid["ov"]
+    sl_idx = jnp.arange(SL, dtype=jnp.int32)[:, None]
+    sk_idx = jnp.arange(SK, dtype=jnp.int32)[:, None]
+    occ_l = sl_idx < rs.n_l[None, :]
+    occ_k = sk_idx < rs.n_k[None, :]
+    occ_k3 = occ_k.reshape(SK, LPI, G)
+    ln_llocal = net["ln_llocal"]
+    rn = net["route_next"]
+    NR, RLEN, MAXLPR = rn.shape
+
+    def rn_at(route, pos, llocal):
+        fi = (jnp.clip(route, 0, NR - 1) * RLEN
+              + jnp.clip(pos, 0, RLEN - 1)) * MAXLPR \
+            + jnp.clip(llocal, 0, MAXLPR - 1)
+        return jnp.take(rn.reshape(-1), fi)
+
+    in_src = net["in_src"].reshape(-1)
+    src_ok = in_src >= 0
+
+    def fwd_exchange(rows):
+        if cfg.fwd_shifts:
+            return _shifted_exchange(rows, IL * G, cfg.fwd_shifts,
+                                     net["fwd_gid"], net["fwd_res_j"],
+                                     net["fwd_res_src"])
+        return jnp.where(src_ok[:, None],
+                         jnp.take(rows, jnp.clip(in_src, 0), axis=0), 0.0)
+
+    inl = mid["inl"]
+
+    def ap_ch(c):
+        return inl[c * AP:(c + 1) * AP]
+    h_dis = ap_ch(0); h_speed = ap_ch(1)
+    h_nxt = ap_ch(2).astype(jnp.int32); h_nxt3 = ap_ch(3).astype(jnp.int32)
+    h_route = ap_ch(4).astype(jnp.int32); h_rpos = ap_ch(5).astype(jnp.int32)
+    h_flow = ap_ch(6).astype(jnp.int32)
+    h_prih = ap_ch(7); h_pril = ap_ch(8)
+    h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
+    h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
+    NFC = 14
+    il_len = inl[NFC * AP]
+
+    g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
+
+    def oh_lpi(nxt_ids):
+        lpi_h = jnp.where(nxt_ids >= 0, (nxt_ids - LNp - g_iota)
+                          // jnp.int32(G), -1)
+        return (lpi_h[None] == jnp.arange(LPI, dtype=jnp.int32)
+                [:, None, None]).astype(f)
+
+    def to_link(ohl, xs):
+        return jnp.einsum("lig,cig->clg", ohl,
+                          jnp.stack([x.astype(f) for x in xs]), precision=HI)
+
+    ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
+    ap_out = [dict(spd=mid["ap_spd"][a], dis=mid["ap_dis"][a],
+                   fail_lk=mid["ap_fail"][a], ffo_lk=mid["ap_ffo"][a],
+                   red_lk=mid["ap_red"][a]) for a in range(AP)]
+    k_fail_all = mid["k_fail"]
+    k_fffoe_all = mid["k_fffoe"]
+    nd_k3, ns_k3 = mid["nd_k3"], mid["ns_k3"]
+    new_dis_l, new_spd_l = mid["new_dis_l"], mid["new_spd_l"]
+    invalid_l = occ_l & (rs.l_nxt < 0) & ~rs.l_last
+    dbg = {}
+
     # =====================================================================
     # 4. transfers / removals / commit
     # =====================================================================
@@ -1065,28 +1155,8 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
             remain = jnp.where(go, remain + tph, remain)
             phase = nxtp
 
-    if debug:
-        dbg.update(dict(
-            end_tail_exists=end_tail_exists, end_tail_dis=end_tail_dis,
-            end_tail_prev=end_tail_prev, e_ok=e_ok,
-            s_ok=s_ok, avail_lk=avail_lk, exists=exists, ndist=ndist,
-            foe_exists=foe_exists, foe_yield=foe_yield,
-            foe_reach=foe_reach, foe_dist=foe_dist, foe_cleared=foe_cleared,
-            gap_k=gap_k, has_lead_k3=has_lead_k3, lead_spd_k3=lead_spd_k3,
-            k_fail=k_fail_all, k_ffd=k_ffd_all,
-            new_spd_k=ns_k3, new_dis_k=nd_k3,
-            cnt=cnt, ring_hit=ring_hit, w_p=w_p, can_enter_k=can_enter_k,
-            x_l=x_l, x_k=x_k, m_k=m_k, m_l=m_l,
-            ap_spd=jnp.stack([o["spd"] for o in ap_out]),
-            ap_dis=jnp.stack([o["dis"] for o in ap_out]),
-            ap_rel=jnp.stack([o["rel"] for o in ap_out]),
-            h_nxt=h_nxt, h_dis=h_dis, h_speed=h_speed, h_occ=h_occ,
-            best_ex=best_ex, best_val=best_val,
-            new_dis_l=new_dis_l, new_spd_l=new_spd_l,
-            ap_fail=jnp.stack([o["fail_lk"] for o in ap_out]),
-            ap_ffo=jnp.stack([o["ffo_lk"] for o in ap_out]),
-            ap_red=jnp.stack([o["red_lk"] for o in ap_out]),
-        ))
+    dbg.update(dict(x_l=x_l, x_k=x_k, m_k=m_k, m_l=m_l,
+                    new_dis_l=new_dis_l, new_spd_l=new_spd_l))
     new_rs = rs.replace_fields(
         step=rs.step + 1,
         finished_cnt=rs.finished_cnt + n_rm,
@@ -1106,4 +1176,62 @@ def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
         k_nxtl=new_k_nxtl,
         k_custom=jnp.zeros((SK, LKp), f),
         k_hascustom=jnp.zeros((SK, LKp), bool))
-    return (new_rs, dbg) if debug else new_rs
+    return new_rs, dbg
+
+
+@partial(jax.jit, static_argnums=(1, 4))
+def ring_step(net, cfg: RingConfig, rs: RingState, q, debug: bool = False):
+    """One Engine::nextStep, single executable (tests / small nets)."""
+    rs, mid, dbg1 = _notify_phase(net, cfg, rs, q, debug)
+    new_rs, dbg2 = _commit_phase(net, cfg, rs, mid)
+    if debug:
+        dbg1.update(dbg2)
+        return new_rs, dbg1
+    return new_rs
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ring_step_p1(net, cfg: RingConfig, rs: RingState, q):
+    rs, mid, _ = _notify_phase(net, cfg, rs, q, False)
+    return rs, mid
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ring_step_p2(net, cfg: RingConfig, rs: RingState, mid):
+    new_rs, _ = _commit_phase(net, cfg, rs, mid)
+    return new_rs
+
+
+def ring_step_split(net, cfg: RingConfig, rs: RingState, q):
+    """ring_step as two separately-jitted (and separately-cached)
+    programs; identical semantics by construction."""
+    rs, mid = ring_step_p1(net, cfg, rs, q)
+    return ring_step_p2(net, cfg, rs, mid)
+
+
+# Batched entries with net/q as jit ARGUMENTS: a vmapped closure over the
+# tables bakes them into the HLO as (100+ MB of) constants, which blows up
+# both compile time and persistent-cache load time on the tunneled backend.
+@partial(jax.jit, static_argnums=(1,))
+def ring_step_p1_batched(net, cfg: RingConfig, rs_b, q):
+    def one(s):
+        rs2, mid, _ = _notify_phase(net, cfg, s, q, False)
+        return rs2, mid
+    return jax.vmap(one)(rs_b)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ring_step_p2_batched(net, cfg: RingConfig, rs_b, mid_b):
+    def one(s, m):
+        new_rs, _ = _commit_phase(net, cfg, s, m)
+        return new_rs
+    return jax.vmap(one)(rs_b, mid_b)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ring_step_batched(net, cfg: RingConfig, rs_b, q):
+    def one(s):
+        rs2, mid, _ = _notify_phase(net, cfg, s, q, False)
+        new_rs, _ = _commit_phase(net, cfg, rs2, mid)
+        return new_rs
+    return jax.vmap(one)(rs_b)
