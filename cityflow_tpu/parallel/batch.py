@@ -37,18 +37,19 @@ def make_batched_step(net, cfg: StepConfig, with_obs: bool = True,
     """Returns step_b(state_B, spawn_tbl[, phases_B]) -> (state_B[, obs_B]),
     jitted, vmapped over the leading env axis."""
 
-    def one(st, spawn_tbl, phases):
-        st = _step_env(net, cfg, st, spawn_tbl, phases)
+    # net tables enter the jit as ARGUMENTS (closure constants get re-staged
+    # to the device on every dispatch by the axon runtime — ~400x slower).
+    def one(net_a, st, spawn_tbl, phases):
+        st = _step_env(net_a, cfg, st, spawn_tbl, phases)
         if with_obs:
-            return st, observe.observations(net, cfg, st)
+            return st, observe.observations(net_a, cfg, st)
         return st, None
 
-    in_axes = (0, None, 0 if rl_actions else None)
-    batched = jax.vmap(one, in_axes=in_axes)
+    in_axes = (None, 0, None, 0 if rl_actions else None)
+    jitted = jax.jit(jax.vmap(one, in_axes=in_axes))
 
-    @jax.jit
     def step_b(state, spawn_tbl, phases=None):
-        return batched(state, spawn_tbl, phases)
+        return jitted(net, state, spawn_tbl, phases)
 
     return step_b
 
@@ -65,18 +66,21 @@ def make_sharded_step(net, cfg: StepConfig, mesh: Mesh, axis: str = "env",
     (the learner's gradient psum is where ICI traffic lives)."""
     shard, repl = batch_shardings(mesh, axis)
 
-    def one(st, spawn_tbl, phases):
-        st = _step_env(net, cfg, st, spawn_tbl, phases)
-        obs = observe.observations(net, cfg, st) if with_obs else None
+    def one(net_a, st, spawn_tbl, phases):
+        st = _step_env(net_a, cfg, st, spawn_tbl, phases)
+        obs = observe.observations(net_a, cfg, st) if with_obs else None
         return st, obs
 
-    batched = jax.vmap(one, in_axes=(0, None, 0 if rl_actions else None))
+    batched = jax.vmap(one, in_axes=(None, 0, None,
+                                     0 if rl_actions else None))
 
-    @partial(jax.jit,
-             in_shardings=(shard, repl, shard if rl_actions else None),
-             out_shardings=(shard, shard if with_obs else None))
+    jitted = jax.jit(
+        batched,
+        in_shardings=(None, shard, repl, shard if rl_actions else None),
+        out_shardings=(shard, shard if with_obs else None))
+
     def step_b(state, spawn_tbl, phases=None):
-        return batched(state, spawn_tbl, phases)
+        return jitted(net, state, spawn_tbl, phases)
 
     return step_b
 
@@ -85,14 +89,17 @@ def make_rollout(net, cfg: StepConfig, n_steps: int):
     """rollout(state_B, spawn_tbl) -> state_B after n_steps, fully on device
     via lax.scan (the bench and training inner loop — zero host round-trips)."""
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def rollout(state, spawn_tbl):
+    @partial(jax.jit, donate_argnums=(1,))
+    def _rollout(net_a, state, spawn_tbl):
         def body(st, _):
             st2 = jax.vmap(
-                lambda s: step_mod.step.__wrapped__(net, cfg, s, spawn_tbl)
+                lambda s: step_mod.step.__wrapped__(net_a, cfg, s, spawn_tbl)
             )(st)
             return st2, None
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
+
+    def rollout(state, spawn_tbl):
+        return _rollout(net, state, spawn_tbl)
 
     return rollout

@@ -52,13 +52,15 @@ def build_intersection_obs(net_dev, cfg, max_phases: int):
     lanelink endpoints. Returns (obs_fn, obs_dim)."""
     I = net_dev["phase_offset"].shape[0]
 
-    def obs_fn(st):
+    # net tables arrive as an ARGUMENT (closure constants get re-staged per
+    # dispatch by the axon runtime — see docs/design.md).
+    def obs_fn(net_a, st):
         w = observe.lane_waiting_vehicle_count(cfg, st).astype(jnp.float32)
         c = observe.lane_vehicle_count(cfg, st).astype(jnp.float32)
-        inter = net_dev["ll_inter"]
-        start_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_dev["ll_start"]])
-        start_c = jnp.zeros(I, jnp.float32).at[inter].add(c[net_dev["ll_start"]])
-        end_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_dev["ll_end"]])
+        inter = net_a["ll_inter"]
+        start_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_a["ll_start"]])
+        start_c = jnp.zeros(I, jnp.float32).at[inter].add(c[net_a["ll_start"]])
+        end_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_a["ll_end"]])
         phase_1h = jax.nn.one_hot(st.phase, max_phases)
         return jnp.concatenate(
             [start_w[:, None], start_c[:, None], end_w[:, None], phase_1h],
@@ -83,10 +85,10 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
         mask = a_ids[None, :] < jnp.maximum(n_phases, 1)[:, None]
         return jnp.where(mask, q, -jnp.inf)
 
-    def env_rollforward(st, phases, spawn_tbl):
+    def env_rollforward(net_a, st, phases, spawn_tbl):
         st = st.replace_fields(phase=phases)
         for _ in range(sim_steps_per_action):
-            st = step_mod.step.__wrapped__(net_dev, cfg, st, spawn_tbl)
+            st = step_mod.step.__wrapped__(net_a, cfg, st, spawn_tbl)
         return st
 
     def td_loss(p, obs, actions, rewards, obs_next):
@@ -97,8 +99,8 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
         target = rewards + gamma * q_next
         return jnp.mean((qa - target) ** 2)
 
-    def train_step(params, state, spawn_tbl, key, eps):
-        obs = jax.vmap(obs_fn)(state)                        # (B, I, F)
+    def train_step(net_a, params, state, spawn_tbl, key, eps):
+        obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_a, state)  # (B, I, F)
         q = jax.vmap(lambda o: masked_q(params, o))(obs)
         key, k1 = jax.random.split(key)
         greedy = jnp.argmax(q, axis=-1)
@@ -108,17 +110,17 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
         explore = jax.random.uniform(k2, greedy.shape) < eps
         actions = jnp.where(explore, rand, greedy).astype(jnp.int32)
 
-        new_state = jax.vmap(env_rollforward, in_axes=(0, 0, None))(
-            state, actions, spawn_tbl)
-        obs_next = jax.vmap(obs_fn)(new_state)
+        new_state = jax.vmap(env_rollforward, in_axes=(None, 0, 0, None))(
+            net_a, state, actions, spawn_tbl)
+        obs_next = jax.vmap(obs_fn, in_axes=(None, 0))(net_a, new_state)
         w_next = jax.vmap(lambda s: observe.lane_waiting_vehicle_count(
             cfg, s).astype(jnp.float32))(new_state)
         # reward: negative intersection pressure proxy (waiting upstream)
-        I = net_dev["phase_offset"].shape[0]
-        inter = net_dev["ll_inter"]
+        I = net_a["phase_offset"].shape[0]
+        inter = net_a["ll_inter"]
         rewards = -jax.vmap(
             lambda w: jnp.zeros(I, jnp.float32).at[inter].add(
-                w[net_dev["ll_start"]]))(w_next) / 10.0
+                w[net_a["ll_start"]]))(w_next) / 10.0
 
         loss, grads = jax.value_and_grad(td_loss)(
             params, obs, actions, rewards, obs_next)
@@ -179,7 +181,7 @@ def train(config_path: str, batch: int = 16, iters: int = 20,
         state = jax.device_put(state, shard)
         params = jax.device_put(params, repl)
         step_fn = jax.jit(train_step,
-                          in_shardings=(repl, shard, repl, repl, None),
+                          in_shardings=(None, repl, shard, repl, repl, None),
                           out_shardings=(repl, shard, repl, repl))
     else:
         step_fn = jax.jit(train_step)
@@ -187,7 +189,7 @@ def train(config_path: str, batch: int = 16, iters: int = 20,
     history = []
     eps = 0.5
     for i in range(iters):
-        params, state, key, m = step_fn(params, state, spawn, key,
+        params, state, key, m = step_fn(net_dev, params, state, spawn, key,
                                         max(eps * (0.95 ** i), 0.05))
         history.append({k: float(v) for k, v in m.items()})
     return history

@@ -64,10 +64,13 @@ class CityFlowVecEnv:
         self.num_phases = self.net.n_phases  # (I,) per intersection
         self.state = None
 
-        net_dev, cfg, spawn = self._net_dev, self.cfg, self._spawn
+        cfg = self.cfg
         n_sub = self.action_interval
 
-        def one(st, phases):
+        # net/spawn tables ride as jit ARGUMENTS (stay device-resident);
+        # closing over them would embed them as constants in the HLO, which
+        # the axon runtime re-stages on every dispatch (~150 ms/step).
+        def one(net_dev, spawn, st, phases):
             st = st.replace_fields(phase=phases)
             for _ in range(n_sub):
                 st = step_mod.step.__wrapped__(net_dev, cfg, st, spawn)
@@ -75,11 +78,12 @@ class CityFlowVecEnv:
             reward = -jnp.sum(obs["lane_waiting"].astype(jnp.float32))
             return st, (obs, reward)
 
-        batched = jax.vmap(one, in_axes=(0, 0))
+        batched = jax.vmap(one, in_axes=(None, None, 0, 0))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-            self._step = jax.jit(batched, in_shardings=(shard, shard),
+            self._step = jax.jit(batched,
+                                 in_shardings=(None, None, shard, shard),
                                  out_shardings=(shard, (shard, shard)))
             self._shard = shard
         else:
@@ -97,7 +101,8 @@ class CityFlowVecEnv:
 
     def step(self, phases):
         """phases: (B, I) int32 -> (obs dict, reward (B,), state)."""
-        self.state, (obs, reward) = self._step(self.state, phases)
+        self.state, (obs, reward) = self._step(
+            self._net_dev, self._spawn, self.state, phases)
         return obs, reward
 
     def max_pressure_actions(self):
@@ -105,8 +110,8 @@ class CityFlowVecEnv:
         from cityflow_tpu.rl.policies import max_pressure_phases
         mp = int(self.net.n_phases.max()) if self.net.n_phases.size else 1
         return jax.jit(jax.vmap(
-            lambda s: max_pressure_phases(self._net_dev, self.cfg, s, mp)
-        ))(self.state)
+            max_pressure_phases, in_axes=(None, None, 0, None),
+            ), static_argnums=(1, 3))(self._net_dev, self.cfg, self.state, mp)
 
 
 class RingVecEnv:
@@ -141,34 +146,38 @@ class RingVecEnv:
         self._i_orig2ring = jnp.asarray(inv)          # ring pos of orig i
         self._i_ring2orig = jnp.asarray(
             sim.meta.new2old_inter.astype(_np.int32))
-        tables, cfg, q = sim.tables, sim.cfg, sim.q
-        perm = tables["lane_perm"]
+        cfg = sim.cfg
+        i_ring2orig, i_orig2ring = self._i_ring2orig, self._i_orig2ring
 
-        def one(st, phases_orig):
-            ring_phase = jnp.take(phases_orig, self._i_ring2orig)
+        # tables/q ride as jit ARGUMENTS, not closure constants (constants
+        # are re-staged per dispatch by the axon runtime: ~400x slower).
+        def one(tables, q, st, phases_orig):
+            ring_phase = jnp.take(phases_orig, i_ring2orig)
             st = st.replace_fields(phase=ring_phase.astype(jnp.int32))
             st = ring_step.__wrapped__(tables, cfg, st, q)
             obs = ring_observe.observations_ring(tables, cfg, st)
+            perm = tables["lane_perm"]
             obs["lane_count"] = jnp.take(obs["lane_count"], perm)
             obs["lane_waiting"] = jnp.take(obs["lane_waiting"], perm)
             reward = -jnp.sum(obs["lane_waiting"].astype(jnp.float32))
             return st, (obs, reward)
 
-        batched = jax.vmap(one, in_axes=(0, 0))
+        batched = jax.vmap(one, in_axes=(None, None, 0, 0))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-            self._step = jax.jit(batched, in_shardings=(shard, shard),
+            self._step = jax.jit(batched,
+                                 in_shardings=(None, None, shard, shard),
                                  out_shardings=(shard, (shard, shard)))
             self._shard = shard
         else:
             self._step = jax.jit(batched)
             self._shard = None
 
-        def mp_actions(st):
+        def mp_actions(tables, st):
             ring = ring_observe.max_pressure_phases_ring(tables, cfg, st, mp)
-            return jnp.take(ring, self._i_orig2ring)
-        self._mp = jax.jit(jax.vmap(mp_actions))
+            return jnp.take(ring, i_orig2ring)
+        self._mp = jax.jit(jax.vmap(mp_actions, in_axes=(None, 0)))
 
     def reset(self):
         st0 = self.sim.state
@@ -180,8 +189,9 @@ class RingVecEnv:
         return None
 
     def step(self, phases):
-        self.state, (obs, reward) = self._step(self.state, phases)
+        self.state, (obs, reward) = self._step(
+            self.sim.tables, self.sim.q, self.state, phases)
         return obs, reward
 
     def max_pressure_actions(self):
-        return self._mp(self.state)
+        return self._mp(self.sim.tables, self.state)

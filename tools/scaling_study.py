@@ -129,8 +129,8 @@ def main():
     step_tr = jax.jit(train_step)
     losses = []
     for i in range(args.dqn_iters):
-        params, st_tr, key, m = step_tr(params, st_tr, spawn_dev, key,
-                                        max(0.5 * (0.95 ** i), 0.05))
+        params, st_tr, key, m = step_tr(net_dev, params, st_tr, spawn_dev,
+                                        key, max(0.5 * (0.95 ** i), 0.05))
         losses.append(float(m["loss"]))
 
     obs_fn = dqn_mod.build_intersection_obs(net_dev, cfg, max_phases)
@@ -155,7 +155,7 @@ def main():
         def one(st, act):
             if use_dqn:
                 if act:
-                    obs = jax.vmap(obs_fn)(st)
+                    obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_dev, st)
                     q = jax.vmap(lambda o: dqn_mod.q_values(params, o))(obs)
                     mask = (jnp.arange(q.shape[-1])[None, :]
                             < jnp.maximum(n_phases_dev, 1)[:, None])
