@@ -104,27 +104,34 @@ def run_gen1(args, net):
                      net.phase_offset)
     state = init_batch_state(cfg, st0, args.batch)
     split = net.num_links > 2000
+    # net/spawn tables ride as jit arguments (closure constants are
+    # re-staged per dispatch by the axon runtime — see docs/design.md)
     if split:
-        p1 = jax.jit(jax.vmap(lambda s: step_mod.step_part1.__wrapped__(
-            net_dev, cfg, s, spawn_dev)))
-        p2a = jax.jit(jax.vmap(lambda s, arr, fa, ia:
-                               step_mod.step_part2a.__wrapped__(
-                                   net_dev, cfg, s, arr, fa, ia)))
-        p2b = jax.jit(jax.vmap(lambda s, arr, la, vn, nf:
-                               step_mod.step_part2b.__wrapped__(
-                                   net_dev, cfg, s, arr, la, vn, nf)))
-        p3 = jax.jit(jax.vmap(lambda s, arr, buf, ov:
-                              step_mod.step_part3.__wrapped__(
-                                  net_dev, cfg, s, arr, buf, ov)))
+        p1 = jax.jit(jax.vmap(
+            lambda n, s, sp: step_mod.step_part1.__wrapped__(n, cfg, s, sp),
+            in_axes=(None, 0, None)))
+        p2a = jax.jit(jax.vmap(
+            lambda n, s, arr, fa, ia: step_mod.step_part2a.__wrapped__(
+                n, cfg, s, arr, fa, ia), in_axes=(None, 0, 0, 0, 0)))
+        p2b = jax.jit(jax.vmap(
+            lambda n, s, arr, la, vn, nf: step_mod.step_part2b.__wrapped__(
+                n, cfg, s, arr, la, vn, nf), in_axes=(None, 0, 0, 0, 0, 0)))
+        p3 = jax.jit(jax.vmap(
+            lambda n, s, arr, buf, ov: step_mod.step_part3.__wrapped__(
+                n, cfg, s, arr, buf, ov), in_axes=(None, 0, 0, 0, 0)))
 
         def step_b(s):
-            s, arr, fa, ia = p1(s)
-            la, vn, nf = p2a(s, arr, fa, ia)
-            buf, ovh = p2b(s, arr, la, vn, nf)
-            return p3(s, arr, buf, ovh)
+            s, arr, fa, ia = p1(net_dev, s, spawn_dev)
+            la, vn, nf = p2a(net_dev, s, arr, fa, ia)
+            buf, ovh = p2b(net_dev, s, arr, la, vn, nf)
+            return p3(net_dev, s, arr, buf, ovh)
     else:
-        step_b = jax.jit(jax.vmap(
-            lambda s: step_mod.step.__wrapped__(net_dev, cfg, s, spawn_dev)))
+        stepj = jax.jit(jax.vmap(
+            lambda n, s, sp: step_mod.step.__wrapped__(n, cfg, s, sp),
+            in_axes=(None, 0, None)))
+
+        def step_b(s):
+            return stepj(net_dev, s, spawn_dev)
     t0 = time.time()
     state = jax.block_until_ready(step_b(state))
     compile_s = time.time() - t0
