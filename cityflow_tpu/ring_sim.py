@@ -10,7 +10,8 @@ import numpy as np
 from cityflow_tpu.compiler.net import CompiledNet
 from cityflow_tpu.compiler.ring_net import build_ring, RingMeta
 from cityflow_tpu.compiler.spawn import SpawnGenerator
-from cityflow_tpu.core.ring import RingConfig, RingState, init_ring_state, ring_step
+from cityflow_tpu.core.ring import (
+    RingConfig, RingState, init_ring_state, ring_step, P_LEN, P_MINGAP)
 
 
 @dataclass
@@ -70,7 +71,7 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         raise ValueError("ring layout requires uniform vehicle templates")
 
     p = meta.param_row
-    min_len = float(p[P_LEN] if False else p[1]) + float(p[7])  # len + minGap
+    min_len = float(p[P_LEN]) + float(p[P_MINGAP])
     lane_cap = int(np.ceil(np.asarray(tb["ln_len"]).max() / min_len)) + 2
     link_cap = int(np.ceil(np.asarray(tb["lk_len"]).max() / min_len)) + 2
     SL = sl if sl is not None else lane_cap

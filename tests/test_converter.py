@@ -97,6 +97,50 @@ def test_cityflow_to_sumo_round_trip(tmp_path):
                     assert (state[c] == "G") == (ri in avail)
 
 
+def test_flow_round_trip(tmp_path):
+    # cityflow flow -> .rou.xml -> cityflow flow: route, interval, window,
+    # and the FULL vehicle template survive (the reference's
+    # cityflow2sumo_flow, converter_v2.py:774-830, collapses everything to
+    # one hardcoded vType and per-vehicle rows; ours is lossless)
+    tpl_a = {"length": 5.0, "width": 2.0, "maxPosAcc": 2.0,
+             "maxNegAcc": 4.5, "usualPosAcc": 1.5, "usualNegAcc": 3.0,
+             "minGap": 2.5, "maxSpeed": 11.11, "headwayTime": 1.5}
+    tpl_b = dict(tpl_a, maxSpeed=16.67, length=7.5)
+    flows = [
+        {"vehicle": tpl_a, "route": ["road_a", "road_b"], "interval": 4.0,
+         "startTime": 0, "endTime": -1},
+        {"vehicle": tpl_b, "route": ["road_b", "road_c", "road_d"],
+         "interval": 2.5, "startTime": 10, "endTime": 90},
+        {"vehicle": tpl_a, "route": ["road_a", "road_d"], "interval": 1.0,
+         "startTime": 7, "endTime": 7},          # one-shot -> <vehicle>
+    ]
+    src = tmp_path / "flow_src.json"
+    json.dump(flows, open(src, "w"))
+    rou = str(tmp_path / "flow.rou.xml")
+    converter.cityflow_flow_to_sumo(str(src), rou)
+
+    root = ET.parse(rou).getroot()
+    assert len(root.findall("flow")) == 2
+    assert len(root.findall("vehicle")) == 1
+    assert len(root.findall("vType")) == 2       # templates deduplicated
+
+    back = str(tmp_path / "flow_back.json")
+    ident = {f"road_{s}": f"road_{s}" for s in "abcd"}
+    converter.sumo_flow_to_cityflow(rou, ident, back)
+    got = json.load(open(back))
+    got = sorted(got, key=lambda f: f["startTime"])
+    want = sorted(flows, key=lambda f: f["startTime"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["route"] == w["route"]
+        assert g["startTime"] == w["startTime"]
+        assert g["endTime"] == w["endTime"]
+        if w["startTime"] != w["endTime"]:       # one-shots spawn once;
+            assert g["interval"] == w["interval"]  # interval is moot
+        for k, v in w["vehicle"].items():
+            assert abs(g["vehicle"][k] - v) < 1e-9, (k, g["vehicle"][k], v)
+
+
 def test_sumo_round_trip_preserves_phases(tmp_path):
     # sumo -> cityflow -> sumo: tlLogic phase structure preserved
     doc, out = _convert(tmp_path)

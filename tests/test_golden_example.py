@@ -33,9 +33,11 @@ def _run_parity(config, golden, n_steps, atol=0.0):
 
 
 @pytest.mark.slow
-def test_example_300_steps_exact():
-    _run_parity(CONFIG, "example_3600.jsonl.gz", 300)
+def test_example_3600_steps_exact():
+    _run_parity(CONFIG, "example_3600.jsonl.gz", 3600)
 
 
-def test_example_60_steps_exact():
-    _run_parity(CONFIG, "example_3600.jsonl.gz", 60)
+def test_example_250_steps_exact():
+    # the non-slow insurance window: long enough to cover spawn bursts,
+    # multi-phase light wraps, and the first wave of lanelink transfers
+    _run_parity(CONFIG, "example_3600.jsonl.gz", 250)

@@ -183,9 +183,12 @@ def sumo_flow_to_cityflow(rou_xml, edge_map, out_json, default_interval=2.0):
     def tpl(vt):
         g = (lambda k, d: float(vt.get(k, d))) if vt is not None \
             else (lambda k, d: d)
+        # usualPosAcc/usualNegAcc: our cityflow->sumo extension attributes
+        # (SUMO has no usual-accel concept); fall back to accel/decel
         return {"length": g("length", 5.0), "width": g("width", 2.0),
                 "maxPosAcc": g("accel", 2.0), "maxNegAcc": g("decel", 4.5),
-                "usualPosAcc": g("accel", 2.0), "usualNegAcc": g("decel", 4.5),
+                "usualPosAcc": g("usualPosAcc", g("accel", 2.0)),
+                "usualNegAcc": g("usualNegAcc", g("decel", 4.5)),
                 "minGap": g("minGap", 2.5), "maxSpeed": g("maxSpeed", 16.67),
                 "headwayTime": g("tau", 1.5)}
 
@@ -220,6 +223,65 @@ def sumo_flow_to_cityflow(rou_xml, edge_map, out_json, default_interval=2.0):
                       "startTime": t, "endTime": t})
     json.dump(flows, open(out_json, "w"), indent=1)
     print(f"wrote {out_json}: {len(flows)} flows")
+
+
+def cityflow_flow_to_sumo(flow_json, out_rou_xml):
+    """CityFlow flow.json -> SUMO .rou.xml. Counterpart of the reference
+    cityflow2sumo_flow (converter_v2.py:774-830) but lossless: the
+    reference emits one <vehicle> per entry under a single hardcoded
+    'pkw' vType; we emit deduplicated vTypes carrying the full template
+    (length/width/accel/decel/minGap/maxSpeed/tau, plus usualPosAcc /
+    usualNegAcc as extension attributes so a round trip through
+    sumo_flow_to_cityflow preserves them), <flow> elements with
+    begin/end/period for repeating flows, and <vehicle> elements for
+    one-shot entries (startTime == endTime)."""
+    data = json.load(open(flow_json))
+    data = sorted(enumerate(data), key=lambda kv: kv[1]["startTime"])
+
+    vtypes = {}      # param tuple -> vType id
+
+    def vtype_id(veh):
+        key = tuple(sorted(veh.items()))
+        if key not in vtypes:
+            vtypes[key] = f"vt{len(vtypes)}"
+        return vtypes[key]
+
+    rows = []
+    for idx, fl in data:
+        veh = fl.get("vehicle", {})
+        vt = vtype_id(veh)
+        edges = " ".join(fl["route"])
+        begin = fl.get("startTime", 0)
+        end = fl.get("endTime", -1)
+        if end != -1 and end <= begin:
+            rows.append(f'  <vehicle id="cf_{idx}" type="{vt}" '
+                        f'depart="{begin}">\n'
+                        f'    <route edges="{edges}"/>\n  </vehicle>')
+        else:
+            end_attr = "" if end == -1 else f' end="{end}"'
+            rows.append(f'  <flow id="cf_{idx}" type="{vt}" begin="{begin}"'
+                        f'{end_attr} period="{fl.get("interval", 2.0)}">\n'
+                        f'    <route edges="{edges}"/>\n  </flow>')
+
+    vt_rows = []
+    for key, vt in vtypes.items():
+        veh = dict(key)
+        vt_rows.append(
+            f'  <vType id="{vt}" length="{veh.get("length", 5.0)}" '
+            f'width="{veh.get("width", 2.0)}" '
+            f'accel="{veh.get("maxPosAcc", 2.0)}" '
+            f'decel="{veh.get("maxNegAcc", 4.5)}" '
+            f'minGap="{veh.get("minGap", 2.5)}" '
+            f'maxSpeed="{veh.get("maxSpeed", 16.67)}" '
+            f'tau="{veh.get("headwayTime", 1.5)}" '
+            f'usualPosAcc="{veh.get("usualPosAcc", 2.0)}" '
+            f'usualNegAcc="{veh.get("usualNegAcc", 4.5)}"/>')
+
+    with open(out_rou_xml, "w") as fh:
+        fh.write('<routes xmlns:xsi="http://www.w3.org/2001/XMLSchema-'
+                 'instance">\n' + "\n".join(vt_rows + rows) + "\n</routes>\n")
+    print(f"wrote {out_rou_xml}: {len(rows)} flow entries, "
+          f"{len(vtypes)} vehicle types")
 
 
 def cityflow_to_sumo(roadnet_json, out_prefix):
@@ -313,7 +375,10 @@ def main():
                     help="cityflow -> sumo plain XML")
     args = ap.parse_args()
     if args.reverse:
-        cityflow_to_sumo(args.cityflownet, args.sumonet)
+        if args.cityflownet and args.sumonet:
+            cityflow_to_sumo(args.cityflownet, args.sumonet)
+        if args.cityflowflow and args.sumoflow:
+            cityflow_flow_to_sumo(args.cityflowflow, args.sumoflow)
         return
     edge_map = sumo_to_cityflow(args.sumonet, args.cityflownet)
     if args.sumoflow and args.cityflowflow:
