@@ -66,6 +66,8 @@ class RingMeta:
     KOUT: int = 1                   # max out-links per in-lane
     fwd_shifts: tuple = ()          # shift plan offsets (lane -> in-lane)
     bwd_shifts: tuple = ()          # shift plan offsets (in-lane -> lane)
+    inn_shifts: tuple = ()          # shift plan offsets (lane -> inner lane)
+    out_shifts: tuple = ()          # shift plan offsets (lane -> outer lane)
 
 
 def _veh_bound(net: CompiledNet, interval: float) -> float:
@@ -303,6 +305,9 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     ln_llocal = np.zeros(LNp, np.int32)
     ln_valid = np.zeros(LNp, bool)
     ln_g = np.full(LNp, -1, np.int32)          # end-inter group (real) else -1
+    ln_width = np.zeros(LNp, f32)
+    ln_inner = np.full(LNp, -1, np.int32)      # ring pos of laneIndex-1 lane
+    ln_outer = np.full(LNp, -1, np.int32)      # ring pos of laneIndex+1 lane
     old2newq = {int(v): q for q, v in enumerate(new2old)}
     for lane in hn.lanes:
         p = lane_pos[lane.index]
@@ -310,6 +315,12 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
         ln_maxspd[p] = lane.max_speed
         ln_llocal[p] = lane.lane_index
         ln_valid[p] = True
+        ln_width[p] = lane.width
+        road_lanes = lane.road.lanes
+        if lane.lane_index > 0:
+            ln_inner[p] = lane_pos[road_lanes[lane.lane_index - 1].index]
+        if lane.lane_index + 1 < len(road_lanes):
+            ln_outer[p] = lane_pos[road_lanes[lane.lane_index + 1].index]
         ei = lane.road.end_intersection
         if ei is not None and cnt_links[ei.index] > 0:
             g = old2newq[ei.index]
@@ -320,6 +331,9 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     tb["ln_llocal"] = ln_llocal
     tb["ln_valid"] = ln_valid
     tb["ln_g"] = ln_g
+    tb["ln_width"] = ln_width
+    tb["ln_inner"] = ln_inner
+    tb["ln_outer"] = ln_outer
 
     lk_len = np.zeros(LKp, f32)
     lk_turn = np.zeros(LKp, bool)
@@ -399,6 +413,19 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     tb["bwd_gid"] = bwd_gid
     tb["bwd_res_j"] = bwd_rj
     tb["bwd_res_src"] = bwd_rs
+
+    # lane -> inner/outer neighbor-lane permutations (lane change); grid
+    # topology puts nearly all of both on a handful of +-I-style offsets
+    inn_shifts, inn_gid, inn_rj, inn_rs = shift_plan(ln_inner)
+    out_shifts, out_gid, out_rj, out_rs = shift_plan(ln_outer)
+    meta.inn_shifts = inn_shifts
+    meta.out_shifts = out_shifts
+    tb["inn_gid"] = inn_gid
+    tb["inn_res_j"] = inn_rj
+    tb["inn_res_src"] = inn_rs
+    tb["out_gid"] = out_gid
+    tb["out_res_j"] = out_rj
+    tb["out_res_src"] = out_rs
 
     # type-shared operators. The dense foe permutation (S2 x S2 one-hot,
     # applied on the MXU) is only worth materializing when S2 is small —

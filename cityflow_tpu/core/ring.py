@@ -74,6 +74,12 @@ class RingConfig:
                               # fast-mode cap, like gen-1's k_chase)
     fwd_shifts: Tuple[int, ...] = ()   # exchange shift plans (ring_net);
     bwd_shifts: Tuple[int, ...] = ()   # empty tuple -> plain gather
+    lane_change: bool = False # enable the signal/shadow protocol (ring_lc)
+    LCI: int = 2              # shadow inserts per lane per step (flagged)
+    LCD: int = 2              # mid-ring finish removals per lane per step
+    MAXLPR: int = 1           # route-table lanes-per-road width (rn rows)
+    inn_shifts: Tuple[int, ...] = ()   # lane -> inner-lane permutation plan
+    out_shifts: Tuple[int, ...] = ()   # lane -> outer-lane permutation plan
 
     @property
     def dt(self):
@@ -89,7 +95,9 @@ class RingConfig:
                       "l_uid", "l_last", "l_custom", "l_hascustom",
                       "k_dis", "k_speed", "k_flow", "k_route", "k_rpos",
                       "k_entll", "k_enter", "k_pri", "k_uid", "k_nxtl",
-                      "k_custom", "k_hascustom"],
+                      "k_custom", "k_hascustom",
+                      "l_off", "l_sh", "l_chg", "l_dir", "l_gap", "l_yv",
+                      "l_rnrow", "l_auxrow", "k_gap"],
          meta_fields=[])
 @dataclass
 class RingState:
@@ -109,6 +117,16 @@ class RingState:
     k_dis: Any; k_speed: Any; k_flow: Any; k_route: Any; k_rpos: Any
     k_entll: Any; k_enter: Any; k_pri: Any; k_uid: Any; k_nxtl: Any
     k_custom: Any; k_hascustom: Any
+    # lane-change channels (None when cfg.lane_change is off — zero cost)
+    l_off: Any = None         # signed lateral offset (changing reals)
+    l_sh: Any = None          # shadow flag
+    l_chg: Any = None         # changing flag (real side)
+    l_dir: Any = None         # -1/0/+1 change direction (both sides)
+    l_gap: Any = None         # Vehicle::controllerInfo.gap incl. staleness
+    l_yv: Any = None          # per-step yieldSpeed (100 = no-op)
+    l_rnrow: Any = None       # (MAXLPR, SL, LNp) route-next row bundle
+    l_auxrow: Any = None      # (MAXLPR, SL, LNp) two-hop aux row bundle
+    k_gap: Any = None         # link-side gap channel (staleness carrier)
 
     def replace_fields(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -127,6 +145,16 @@ def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
     pt = np.asarray(net["phase_time"])
     first = pt[np.clip(off, 0, len(pt) - 1)]
     remain = jnp.asarray(np.where(n_ph > 0, first, 0.0), f)
+    lc = {}
+    if cfg.lane_change:
+        lc = dict(
+            l_off=zl(), l_sh=jnp.zeros((SL, LNp), bool),
+            l_chg=jnp.zeros((SL, LNp), bool), l_dir=il_(0),
+            l_gap=zl(),                      # Vehicle ctor: gap = 0
+            l_yv=jnp.full((SL, LNp), 100.0, f),
+            l_rnrow=jnp.full((cfg.MAXLPR, SL, LNp), -1, jnp.int32),
+            l_auxrow=jnp.full((cfg.MAXLPR, SL, LNp), -1, jnp.int32),
+            k_gap=zk())
     return RingState(
         step=jnp.int32(0), finished_cnt=jnp.int32(0), cum_travel=f(0),
         overflow=jnp.int32(0),
@@ -140,7 +168,8 @@ def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
         l_custom=zl(), l_hascustom=jnp.zeros((SL, LNp), bool),
         k_dis=zk(), k_speed=zk(), k_flow=ik(), k_route=ik(), k_rpos=ik(),
         k_entll=ik(INT_MAX), k_enter=zk(), k_pri=ik(), k_uid=ik(-1),
-        k_nxtl=ik(-1), k_custom=zk(), k_hascustom=jnp.zeros((SK, LKp), bool))
+        k_nxtl=ik(-1), k_custom=zk(), k_hascustom=jnp.zeros((SK, LKp), bool),
+        **lc)
 
 
 # ---------------------------------------------------------------------------
@@ -192,6 +221,102 @@ def _shifted_exchange(rows, n_out, shifts, gid, res_j, res_src):
         res_rows = jnp.take(rows, jnp.clip(res_src, 0), axis=0)
         out = out.at[jnp.clip(res_j, 0, n_out - 1)].set(res_rows)
     return out
+
+
+def _fwd_ex(net, cfg, rows):
+    """Lane -> in-lane exchange ((LNp, CH) -> (IL*G, CH)), module-level
+    variant of the per-phase closures."""
+    in_src = net["in_src"].reshape(-1)
+    src_ok = in_src >= 0
+    if cfg.fwd_shifts:
+        return _shifted_exchange(rows, cfg.IL * cfg.G, cfg.fwd_shifts,
+                                 net["fwd_gid"], net["fwd_res_j"],
+                                 net["fwd_res_src"])
+    return jnp.where(src_ok[:, None],
+                     jnp.take(rows, jnp.clip(in_src, 0), axis=0), 0.0)
+
+
+def _bwd_ex(net, cfg, rows):
+    """In-lane -> lane exchange ((IL*G, CH) -> (LNp, CH))."""
+    if cfg.bwd_shifts:
+        return _shifted_exchange(rows, cfg.LNp, cfg.bwd_shifts,
+                                 net["bwd_gid"], net["bwd_res_j"],
+                                 net["bwd_res_src"])
+    iv = net["in_inv"]
+    return jnp.where((iv >= 0)[:, None],
+                     jnp.take(rows, jnp.clip(iv, 0), axis=0), 0.0)
+
+
+def lc_front_ctx(net, cfg: RingConfig, rs: RingState):
+    """Link-domain context for the LC phase (pre-insert state): per-lane
+    out-link ring tails (olt_*, the lanechange.cpp:33-47 fallback
+    candidates and the vehicle.cpp:170-180 overlap-rule leaders), the
+    front vehicle's next-link length + end-lane tail (nlen/etd/ete), and
+    per-link end-lane tails (k_etd/k_ete) for the k_gap refresh."""
+    f = jnp.float32
+    SL, SK, LNp, LKp = cfg.SL, cfg.SK, cfg.LNp, cfg.LKp
+    G, LPI, IL, OL = cfg.G, cfg.LPI, cfg.IL, cfg.OL
+    p_len = cfg.params[1]
+    sl_idx = jnp.arange(SL, dtype=jnp.int32)[:, None]
+    sk_idx = jnp.arange(SK, dtype=jnp.int32)[:, None]
+
+    def ol_view(x):
+        return x.reshape(OL, cfg.I)[:, :G]
+
+    # lane tails -> per-link end-lane tails
+    oh_tail = sl_idx == (rs.n_l - 1)[None, :]
+    tl_dis = _sel_slot(oh_tail, rs.l_dis)
+    tl_exists = rs.n_l > 0
+    etd_lk = _typed_mm(cfg, net["E_end"], ol_view(tl_dis)[None])[0]
+    ete_lk = _typed_mm(cfg, net["E_end"],
+                       ol_view(tl_exists.astype(f))[None])[0] > 0.5
+
+    # link ring tails -> per-in-lane out-link candidates (laneLinks order)
+    oh_ktail = sk_idx == (rs.n_k - 1)[None, :]
+    kt_dis = _sel_slot(oh_ktail, rs.k_dis)
+    kt_exists = rs.n_k > 0
+    oc = _typed_mm(cfg, net["E_out"], jnp.stack(
+        [kt_dis.reshape(LPI, G), kt_exists.astype(f).reshape(LPI, G)],
+        axis=0)).reshape(2, IL, cfg.KOUT, G)
+    oc_valid = net["out_valid_g"] > 0
+    # strict-min (first wins) over dis: same winner as the leader scan's
+    # min over dis - len (uniform lengths)
+    best_ex = jnp.zeros((IL, G), bool)
+    best_raw = jnp.zeros((IL, G), f)
+    for k in range(cfg.KOUT):
+        cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
+        better = cand_ex & (~best_ex | (oc[0, :, k] < best_raw))
+        best_raw = jnp.where(better, oc[0, :, k], best_raw)
+        best_ex = best_ex | cand_ex
+
+    # the front vehicle's next link: length + end-lane tail, via the
+    # (IL, G) one-hot routing used by the main phase
+    nxt_ilg = _fwd_ex(net, cfg, rs.l_nxt[0].astype(f)[:, None])[:, 0] \
+        .reshape(IL, G).astype(jnp.int32)
+    g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
+    lpi_h = jnp.where(nxt_ilg >= 0, (nxt_ilg - LNp - g_iota)
+                      // jnp.int32(G), -1)
+    ohl = (lpi_h[None] == jnp.arange(LPI, dtype=jnp.int32)
+           [:, None, None]).astype(f)
+    fl = jnp.einsum("lig,clg->cig", ohl, jnp.stack(
+        [net["lk_len"].reshape(LPI, G), etd_lk,
+         ete_lk.astype(f)]), precision=HI)
+
+    # back to the lane axis
+    ch = [best_raw.reshape(-1) - p_len, best_ex.astype(f).reshape(-1),
+          fl[0].reshape(-1), fl[1].reshape(-1), fl[2].reshape(-1)]
+    for k in range(cfg.KOUT):
+        ch.append(oc[0, :, k].reshape(-1))
+        ch.append((oc[1, :, k] > 0.5)
+                  .astype(f).reshape(-1) * oc_valid[:, k].reshape(-1))
+    lane = _bwd_ex(net, cfg, jnp.stack(ch, axis=-1))
+    return dict(
+        best_val=lane[:, 0], best_ex=lane[:, 1] > 0.5,
+        nlen=lane[:, 2], etd=lane[:, 3], ete=lane[:, 4] > 0.5,
+        olt_dis=jnp.stack([lane[:, 5 + 2 * k] for k in range(cfg.KOUT)]),
+        olt_ex=jnp.stack([lane[:, 6 + 2 * k] > 0.5
+                          for k in range(cfg.KOUT)]),
+        k_etd=etd_lk.reshape(-1), k_ete=ete_lk.reshape(-1))
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +401,31 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     def putc(a, const):
         return jnp.where(place, jnp.asarray(const, a.dtype), a)
 
+    lc_adm = {}
+    if cfg.lane_change:
+        # per-vehicle route-row bundles (ring_lc module docstring): the
+        # row of (route, rpos=0) from route_next and route_aux, fetched
+        # in the (small) EL domain and spread like the other channels
+        aux_flat = net["route_aux"].reshape(-1)
+        rn_flat = rn.reshape(-1)
+        base = jnp.clip(rt, 0, NR - 1) * RLEN * MAXLPR
+        rn_rows = [spread(jnp.take(rn_flat, base + c))
+                   for c in range(cfg.MAXLPR)]
+        ax_rows = [spread(jnp.take(aux_flat, base + c))
+                   for c in range(cfg.MAXLPR)]
+        lc_adm = dict(
+            l_off=putc(rs.l_off, 0.0),
+            l_sh=putc(rs.l_sh, False), l_chg=putc(rs.l_chg, False),
+            l_dir=putc(rs.l_dir, 0), l_gap=putc(rs.l_gap, 0.0),
+            l_yv=putc(rs.l_yv, 100.0),
+            l_rnrow=jnp.stack(
+                [jnp.where(place, rn_rows[c][None, :].astype(jnp.int32),
+                           rs.l_rnrow[c]) for c in range(cfg.MAXLPR)],
+                axis=0),
+            l_auxrow=jnp.stack(
+                [jnp.where(place, ax_rows[c][None, :].astype(jnp.int32),
+                           rs.l_auxrow[c]) for c in range(cfg.MAXLPR)],
+                axis=0))
     rs = rs.replace_fields(
         l_dis=putc(rs.l_dis, 0.0),
         l_speed=putc(rs.l_speed, p_speed0),
@@ -291,7 +441,18 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         l_custom=putc(rs.l_custom, 0.0),
         l_hascustom=putc(rs.l_hascustom, False),
         n_l=rs.n_l + adm_lane.astype(jnp.int32),
-        el_cursor=rs.el_cursor + admit.astype(jnp.int32))
+        el_cursor=rs.el_cursor + admit.astype(jnp.int32),
+        **lc_adm)
+
+    # ---- lane change: signals, arbitration, shadow insertion ------------
+    # (initSegments + planLaneChange + scheduleLaneChange,
+    # engine.cpp:571-575; all subsequent phases see the post-insert rings)
+    if cfg.lane_change:
+        from cityflow_tpu.core import ring_lc
+        fx = lc_front_ctx(net, cfg, rs)
+        rs, lc_ov = ring_lc.lc_phase(net, cfg, rs, fx)
+        ov = ov | jnp.where(lc_ov & 1, OV_REMOVE, 0).astype(jnp.int32) \
+            | jnp.where(lc_ov & 2, OV_SLOTS, 0).astype(jnp.int32)
 
     # =====================================================================
     # 2. views
