@@ -334,6 +334,12 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     tb["ln_width"] = ln_width
     tb["ln_inner"] = ln_inner
     tb["ln_outer"] = ln_outer
+    # lane-change finish threshold (w_cur + w_target)/2 per direction
+    # (engine.cpp:232-235); static per (lane, dir)
+    wi = np.where(ln_inner >= 0, ln_width[np.clip(ln_inner, 0, None)], 0.0)
+    wo = np.where(ln_outer >= 0, ln_width[np.clip(ln_outer, 0, None)], 0.0)
+    tb["ln_maxoff_in"] = ((ln_width + wi) / 2).astype(f32)
+    tb["ln_maxoff_out"] = ((ln_width + wo) / 2).astype(f32)
 
     lk_len = np.zeros(LKp, f32)
     lk_turn = np.zeros(LKp, bool)

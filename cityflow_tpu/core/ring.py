@@ -343,6 +343,14 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     # 1. spawn + admission (Flow::nextStep + Engine::handleWaiting,
     #    engine.cpp:502-516; gen-1 spawn_vehicles/admit_waiting)
     # =====================================================================
+    if cfg.lane_change:
+        # stale-gap refresh on the PRE-admission rings: the reference's
+        # makeSignal reads controllerInfo.gap as written by the END of
+        # the previous step's updateLeaderAndGap (engine.cpp:581), i.e.
+        # before this step's spawns/admissions exist
+        from cityflow_tpu.core import ring_lc
+        fx = lc_front_ctx(net, cfg, rs)
+        rs = ring_lc.refresh_gaps(net, cfg, rs, fx)
     el_lane = net["el_lane"]
     EL = el_lane.shape[0]
     QCAP = q["step"].shape[1]
@@ -413,10 +421,32 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
                    for c in range(cfg.MAXLPR)]
         ax_rows = [spread(jnp.take(aux_flat, base + c))
                    for c in range(cfg.MAXLPR)]
+        # admission-time gap: handleWaiting calls updateLeaderAndGap with
+        # the pre-push tail (engine.cpp:510-512); an empty lane runs the
+        # full scan (hop-1 = out-link ring tails of the entry lane, hop-2
+        # = the first link's end-lane tail within the lookahead bound)
+        tail_ex_e = n_e > 0
+        b_ex_e = jnp.take(fx["best_ex"], el_lane)
+        b_val_e = jnp.take(fx["best_val"], el_lane)
+        ln_len_e = jnp.take(net["ln_len"], el_lane)
+        nlen_e = jnp.take(net["lk_len"], jnp.clip(nxt0 - LNp, 0, LKp - 1))
+        n_end = jnp.take(rs.n_l, jnp.clip(end0, 0, LNp - 1))
+        etd_e = jnp.take(rs.l_dis.reshape(-1),
+                         jnp.clip(n_end - 1, 0) * LNp
+                         + jnp.clip(end0, 0, LNp - 1))
+        has_n0 = nxt0 >= 0
+        f1_e = has_n0 & b_ex_e
+        f2_e = has_n0 & ~b_ex_e & (n_end > 0) \
+            & (ln_len_e + nlen_e <= approach)
+        scan_gap = jnp.where(
+            f1_e, ln_len_e + b_val_e,
+            jnp.where(f2_e, ln_len_e + nlen_e + etd_e - p_len, f(0)))
+        adm_gap = jnp.where(tail_ex_e, t_dis - p_len, scan_gap)
         lc_adm = dict(
             l_off=putc(rs.l_off, 0.0),
             l_sh=putc(rs.l_sh, False), l_chg=putc(rs.l_chg, False),
-            l_dir=putc(rs.l_dir, 0), l_gap=putc(rs.l_gap, 0.0),
+            l_dir=putc(rs.l_dir, 0),
+            l_gap=put(rs.l_gap, spread(adm_gap)),
             l_yv=putc(rs.l_yv, 100.0),
             l_rnrow=jnp.stack(
                 [jnp.where(place, rn_rows[c][None, :].astype(jnp.int32),
@@ -434,7 +464,10 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         l_rpos=putc(rs.l_rpos, 0),
         l_nxt=put(rs.l_nxt, vals[2]), l_nxt3=put(rs.l_nxt3, vals[3]),
         l_prev=putc(rs.l_prev, -1),
-        l_enter=jnp.where(place, rs.step.astype(f) * dt, rs.l_enter),
+        # enterTime is the SPAWN step (Vehicle ctor at Flow::nextStep,
+        # flow.cpp; gen-1 spawn_vehicles step.py:350), not the admission
+        # step — vehicles may wait in the queue for many steps first
+        l_enter=put(rs.l_enter, spread(row["step"]) * dt),
         l_pri=jnp.where(place, _from_hilo(vals[4], vals[5]), rs.l_pri),
         l_uid=put(rs.l_uid, vals[6]),
         l_last=jnp.where(place, vals[7] > 0.5, rs.l_last),
@@ -446,10 +479,10 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
 
     # ---- lane change: signals, arbitration, shadow insertion ------------
     # (initSegments + planLaneChange + scheduleLaneChange,
-    # engine.cpp:571-575; all subsequent phases see the post-insert rings)
+    # engine.cpp:571-575; all subsequent phases see the post-insert rings;
+    # fx link-ring tails are unaffected by lane admissions, so the
+    # pre-admission context stays valid here)
     if cfg.lane_change:
-        from cityflow_tpu.core import ring_lc
-        fx = lc_front_ctx(net, cfg, rs)
         rs, lc_ov = ring_lc.lc_phase(net, cfg, rs, fx)
         ov = ov | jnp.where(lc_ov & 1, OV_REMOVE, 0).astype(jnp.int32) \
             | jnp.where(lc_ov & 2, OV_SLOTS, 0).astype(jnp.int32)
@@ -486,6 +519,11 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
            rs.l_uid[:AP].astype(f), rs.l_enter[:AP],
            rs.l_custom[:AP], rs.l_hascustom[:AP].astype(f),
            occ_l[:AP].astype(f)]
+    if cfg.lane_change:
+        # stale-gap channel for lane->link transfer payloads + per-slot
+        # yieldSpeed for the link-domain front min-chain
+        fch.append(rs.l_gap[:AP])
+        fch.append(rs.l_yv[:AP])
     NFC = len(fch)
     fwd = jnp.concatenate(
         [jnp.stack(fch, axis=0).reshape(NFC * AP, LNp),
@@ -753,8 +791,15 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
                    | (end_tail_speed >= 2))
 
     def min_chain(speed, gap, lead_spd, has_lead, v_isr, isr_rel, custom,
-                  has_custom, drv_maxspd, invalid, lane_left):
-        """Vehicle::getNextSpeed min-rule (vehicle.cpp:308-335; gen-1)."""
+                  has_custom, drv_maxspd, invalid, lane_left,
+                  v_yield=None, raw=False):
+        """Vehicle::getNextSpeed min-rule (vehicle.cpp:308-335; gen-1).
+
+        v_yield: lane-change yieldSpeed term (100 = no-op), applied after
+        the intersection term like gen-1 (step.py min-chain order).
+        raw=True returns the clamped speed BEFORE the negative-speed
+        kinematics split (engine.cpp:212-219 runs after the cross-partner
+        min in vehicleControl) — used by the lane-change lockstep path."""
         v_hard = no_collision_speed(lead_spd, f(p_maxneg), speed,
                                     f(p_maxneg), gap, dt, f(0))
         assume_decel = jnp.where(speed > lead_spd, speed - lead_spd, f(0))
@@ -771,10 +816,14 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         v = jnp.minimum(v, drv_maxspd)
         v = jnp.minimum(v, v_cf)
         v = jnp.where(isr_rel, jnp.minimum(v, v_isr), v)
+        if v_yield is not None:
+            v = jnp.minimum(v, v_yield)
         v_inv = no_collision_speed(f(0), f(1), speed, f(p_maxneg),
                                    lane_left, dt, f(p_mingap))
         v = jnp.where(invalid, jnp.minimum(v, v_inv), v)
         v = jnp.maximum(v, speed - f(p_maxneg) * dt)
+        if raw:
+            return v
         neg = v < 0
         delta = jnp.where(neg, 0.5 * speed * speed / f(p_maxneg),
                           (speed + v) * dt / 2)
@@ -901,13 +950,24 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
             has_lead = h_occ[a - 1]
             glap = h_dis[a - 1] - p_len - h_dis[a]
             lead_spd = h_speed[a - 1]
-        vs, dd = min_chain(h_speed[a], glap, lead_spd, has_lead,
-                           v_isr_a, isr_rel_a, h_custom[a], h_hascustom[a],
-                           il_maxspd, jnp.zeros((IL, G), bool),
-                           il_len - h_dis[a])
-        ap_out.append(dict(spd=vs, dis=h_dis[a] + dd,
-                           rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
-                           ffo_lk=ffo_ap[a], red_lk=red_ap[a] & mine_lk[a]))
+        mc_args = (h_speed[a], glap, lead_spd, has_lead,
+                   v_isr_a, isr_rel_a, h_custom[a], h_hascustom[a],
+                   il_maxspd, jnp.zeros((IL, G), bool),
+                   il_len - h_dis[a])
+        if cfg.lane_change:
+            # raw (pre-kinematics) speed: the cross-partner lockstep min
+            # runs in the lane domain before the negative-speed split
+            vr = min_chain(*mc_args, v_yield=ap_ch(15)[a], raw=True)
+            ap_out.append(dict(spd=vr, dis=h_dis[a],
+                               rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
+                               ffo_lk=ffo_ap[a],
+                               red_lk=red_ap[a] & mine_lk[a]))
+        else:
+            vs, dd = min_chain(*mc_args)
+            ap_out.append(dict(spd=vs, dis=h_dis[a] + dd,
+                               rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
+                               ffo_lk=ffo_ap[a],
+                               red_lk=red_ap[a] & mine_lk[a]))
 
     # --- lane-domain dynamics for all slots, then override fronts --------
     lead_dis_l = jnp.concatenate(
@@ -919,26 +979,53 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     gap_l = lead_dis_l - p_len - rs.l_dis
     lane_left_l = net["ln_len"][None, :] - rs.l_dis
     invalid_l = occ_l & (rs.l_nxt < 0) & ~rs.l_last
-    new_spd_l, delta_l = min_chain(
+    in_inv = net["in_inv"]
+    has_inv = in_inv >= 0
+    lane_mc_args = (
         rs.l_speed, gap_l, lead_spd_l, has_lead_l,
         jnp.zeros((SL, LNp), f), jnp.zeros((SL, LNp), bool),
         rs.l_custom, rs.l_hascustom, net["ln_maxspd"][None, :],
         invalid_l, lane_left_l)
-    new_dis_l = rs.l_dis + delta_l
-
-    in_inv = net["in_inv"]
-    has_inv = in_inv >= 0
-    back = jnp.stack(
-        [x for a in range(AP) for x in
-         (ap_out[a]["spd"].reshape(-1), ap_out[a]["dis"].reshape(-1),
-          ap_out[a]["rel"].reshape(-1).astype(f))], axis=-1)  # (ILG, 3*AP)
-    got = bwd_exchange(back)
-    for a in range(AP):
-        use = has_inv & (got[:, 3 * a + 2] > 0)
-        new_spd_l = new_spd_l.at[a].set(
-            jnp.where(use, got[:, 3 * a], new_spd_l[a]))
-        new_dis_l = new_dis_l.at[a].set(
-            jnp.where(use, got[:, 3 * a + 1], new_dis_l[a]))
+    if cfg.lane_change:
+        from cityflow_tpu.core import ring_lc
+        vraw_l = min_chain(*lane_mc_args, v_yield=rs.l_yv, raw=True)
+        back = jnp.stack(
+            [x for a in range(AP) for x in
+             (ap_out[a]["spd"].reshape(-1),
+              ap_out[a]["rel"].reshape(-1).astype(f))], axis=-1)
+        got = bwd_exchange(back)
+        for a in range(AP):
+            use = has_inv & (got[:, 2 * a + 1] > 0)
+            vraw_l = vraw_l.at[a].set(
+                jnp.where(use, got[:, 2 * a], vraw_l[a]))
+        # real+shadow lockstep: min of both raw next speeds
+        # (engine.cpp:195-210; gen-1 step.py partner min)
+        (pv,), pf = ring_lc.partner_fetch(net, cfg, rs, [vraw_l])
+        vmin = jnp.where(pf, jnp.minimum(vraw_l, pv), vraw_l)
+        if debug:
+            dbg["lc_vraw"] = vraw_l
+            dbg["lc_pv"] = pv
+            dbg["lc_pf"] = pf
+        neg = vmin < 0
+        delta_l = jnp.where(neg, 0.5 * rs.l_speed * rs.l_speed / f(p_maxneg),
+                            (rs.l_speed + vmin) * dt / 2)
+        new_spd_l = jnp.where(neg, f(0), vmin)
+        new_dis_l = rs.l_dis + delta_l
+    else:
+        new_spd_l, delta_l = min_chain(*lane_mc_args)
+        new_dis_l = rs.l_dis + delta_l
+        back = jnp.stack(
+            [x for a in range(AP) for x in
+             (ap_out[a]["spd"].reshape(-1), ap_out[a]["dis"].reshape(-1),
+              ap_out[a]["rel"].reshape(-1).astype(f))],
+            axis=-1)                                         # (ILG, 3*AP)
+        got = bwd_exchange(back)
+        for a in range(AP):
+            use = has_inv & (got[:, 3 * a + 2] > 0)
+            new_spd_l = new_spd_l.at[a].set(
+                jnp.where(use, got[:, 3 * a], new_spd_l[a]))
+            new_dis_l = new_dis_l.at[a].set(
+                jnp.where(use, got[:, 3 * a + 1], new_dis_l[a]))
 
     mid = dict(
         inl=inl,
@@ -1004,7 +1091,7 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     h_prih = ap_ch(7); h_pril = ap_ch(8)
     h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
     h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
-    NFC = 14
+    NFC = (inl.shape[0] - 2) // AP        # 14 (+gap,yv with lane change)
     il_len = inl[NFC * AP]
 
     g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
@@ -1050,14 +1137,76 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         deep = cross_l[cfg.XK:] & (sl_idx[cfg.XK:] < rs.n_l[None, :])
         ov = ov | jnp.where(jnp.any(deep), OV_HOPS, 0).astype(jnp.int32)
 
-    removed_l = [leave_pref_l[s] & rs.l_last[s] for s in range(len(leave_pref_l))]
-    exited_l = [leave_pref_l[s] & ~rs.l_last[s] & (rs.l_nxt[s] >= 0)
-                for s in range(len(leave_pref_l))]
+    XKl = len(leave_pref_l)
+    lcc = None
+    if cfg.lane_change:
+        from cityflow_tpu.core import ring_lc
+        i32 = jnp.int32
+        leave_full = jnp.concatenate(
+            [jnp.stack(leave_pref_l, axis=0),
+             jnp.zeros((SL - XKl, LNp), bool)], axis=0)
+        sh = rs.l_sh
+        chg_real = occ_l & rs.l_chg & ~sh
+        # pair exchange round 1: who transfers into a link / dies at
+        # route end this step
+        chanA = leave_full & ~rs.l_last
+        chanB = leave_full & rs.l_last
+        (pA_, pB_), pf2 = ring_lc.partner_fetch(
+            net, cfg, rs, [chanA.astype(f), chanB.astype(f)])
+        pA = pA_ > 0.5
+        pB = pB_ > 0.5
+        # shadow abort: itself or its real crosses into a link
+        # (engine.cpp:223-226 via gen-1 step.py "abort wins over a
+        # same-step finish"). With equal-length sibling lanes the
+        # lockstep pair crosses together, so the partner-cross term only
+        # fires for unequal curved-lane lengths — there the reference
+        # would keep the pair alive across the lane/link boundary; the
+        # ring aborts instead (documented divergence).
+        abort_sh = occ_l & sh & ~rs.l_last & (chanA | (pf2 & pA))
+        # changing real: lateral offset integration (engine.cpp:228-243)
+        dirn = rs.l_dir.astype(f)
+        max_off = jnp.where(rs.l_dir > 0, net["ln_maxoff_out"][None, :],
+                            net["ln_maxoff_in"][None, :])
+        new_off = jnp.minimum(jnp.abs(
+            rs.l_off + jnp.maximum(0.2 * new_spd_l, 1.0) * dt * dirn),
+            max_off)
+        finish_pre = chg_real & (new_off >= max_off) & ~leave_full
+        # round 2: abort/finish flags across the pair
+        (pAb_, pFin_), pf3 = ring_lc.partner_fetch(
+            net, cfg, rs, [abort_sh.astype(f), finish_pre.astype(f)])
+        pAb = pAb_ > 0.5
+        pFin = pFin_ > 0.5
+        finish = finish_pre & ~(pf3 & pAb)
+        promote = occ_l & sh & ~abort_sh & pf3 & pFin
+        unlink_real = chg_real & (~pf2 | (pf3 & pAb) | pB)
+        unlink_sh = occ_l & sh & (~pf2 | pB)
+        die_mid = finish | (abort_sh & ~leave_full)
+        lcc = dict(die_mid=die_mid, abort_sh=abort_sh, finish=finish,
+                   promote=promote, unlink_real=unlink_real,
+                   unlink_sh=unlink_sh, new_off=new_off,
+                   leave_full=leave_full, dirn=dirn)
+        # shadows never transfer (they abort at the lane end); an aborted
+        # shadow COUNTS toward finished-vehicle stats (the
+        # engine.cpp:296-303 hasFinished guard passes for aborts — the
+        # reference quirk, same as gen-1 update_location); a finishing
+        # real is an identity-swap removal and does NOT count
+        removed_l = [leave_pref_l[s] & (rs.l_last[s] | rs.l_sh[s])
+                     for s in range(XKl)]
+        exited_l = [leave_pref_l[s] & ~rs.l_last[s] & ~rs.l_sh[s]
+                    & (rs.l_nxt[s] >= 0) for s in range(XKl)]
+    else:
+        removed_l = [leave_pref_l[s] & rs.l_last[s] for s in range(XKl)]
+        exited_l = [leave_pref_l[s] & ~rs.l_last[s] & (rs.l_nxt[s] >= 0)
+                    for s in range(XKl)]
     now = rs.step.astype(f) * dt
     tt = now - rs.l_enter
     n_rm = sum(r.astype(jnp.int32).sum() for r in removed_l)
     t_rm = sum(jnp.where(removed_l[s], tt[s], f(0)).sum()
                for s in range(len(removed_l)))
+    if cfg.lane_change:
+        cm = lcc["abort_sh"] & ~lcc["leave_full"]
+        n_rm = n_rm + cm.astype(jnp.int32).sum()
+        t_rm = t_rm + jnp.where(cm, tt, f(0)).sum()
 
     nd_k = nd_k3.reshape(SK, LKp)
     ns_k = ns_k3.reshape(SK, LKp)
@@ -1095,11 +1244,13 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     # route_aux) each need ONE gather at this index
     endl_local = jnp.take(ln_llocal, jnp.clip(net["lk_end_lane"], 0)) \
         .reshape(1, LPI, G)
-    gidx3 = ((jnp.clip(rs.k_route[:XKe].reshape(XKe, LPI, G), 0, NR - 1)
+    rowb3 = ((jnp.clip(rs.k_route[:XKe].reshape(XKe, LPI, G), 0, NR - 1)
               * RLEN + jnp.clip(rs.k_rpos[:XKe].reshape(XKe, LPI, G) + 1,
-                                0, RLEN - 1)) * MAXLPR
-             + jnp.clip(endl_local, 0, MAXLPR - 1)).reshape(NC, G)
-    skey, s_gidx = jax.lax.sort((key, gidx3), dimension=0, num_keys=1)
+                                0, RLEN - 1)) * MAXLPR).reshape(NC, G)
+    gidx3 = rowb3 + jnp.broadcast_to(
+        jnp.clip(endl_local, 0, MAXLPR - 1), (XKe, LPI, G)).reshape(NC, G)
+    skey, s_gidx, s_rowb = jax.lax.sort((key, gidx3, rowb3),
+                                        dimension=0, num_keys=1)
     # stage 2: global compaction of the (TI, G) survivors to T2 rows so the
     # dynamic gathers run on ~T2*B indices instead of TI*G*B
     T2 = min(1024, TI * G)
@@ -1107,55 +1258,80 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
                          jnp.arange(TI, dtype=jnp.int32)[:, None] * G
                          + jnp.arange(G, dtype=jnp.int32)[None, :],
                          TI * G).reshape(-1)
-    k2, g2 = jax.lax.sort(
-        (flat_key, s_gidx[:TI].reshape(-1)), dimension=0, num_keys=1)
+    k2, g2, b2 = jax.lax.sort(
+        (flat_key, s_gidx[:TI].reshape(-1), s_rowb[:TI].reshape(-1)),
+        dimension=0, num_keys=1)
     v2 = k2[:T2] < TI * G
     gi = jnp.clip(g2[:T2], 0, NR * RLEN * MAXLPR - 1)
     if T2 < TI * G:
         ov = ov | jnp.where(jnp.all(v2), OV_REMOVE, 0).astype(jnp.int32)
-    r_nxt = jnp.take(rn.reshape(-1), gi)
     r_aux = jnp.take(net["route_aux"].reshape(-1), gi)
-    r_nxt3 = (r_aux >> 1) - 2
-    r_last = (r_aux & 1) > 0
+    # compacted values to spread back: {name: (vals_T2, fill)}
+    rvals = {
+        "nxt": (jnp.take(rn.reshape(-1), gi), -1),
+        "nxt3": ((r_aux >> 1) - 2, -1),
+        "last": ((r_aux & 1), 0),
+    }
+    if cfg.lane_change:
+        # full route-table ROWS at (route, rpos+1) for the entrant's
+        # lane-change reachability checks (ring_lc route-row bundles)
+        FMAX = NR * RLEN * MAXLPR - 1
+        for c in range(cfg.MAXLPR):
+            bi = jnp.clip(b2[:T2] + c, 0, FMAX)
+            rvals[f"rn{c}"] = (jnp.take(rn.reshape(-1), bi), -1)
+            rvals[f"ax{c}"] = (jnp.take(net["route_aux"].reshape(-1), bi),
+                               -1)
     # scatter back to the (TI, G) stage-1 grid, then to the (NC, G) rows
     tgt2 = jnp.where(v2, jnp.clip(k2[:T2], 0, TI * G - 1), TI * G)
-    s_nxt = jnp.full(TI * G + 1, -1, jnp.int32).at[tgt2].set(
-        r_nxt, mode="drop")[:-1].reshape(TI, G)
-    s_nxt3 = jnp.full(TI * G + 1, -1, jnp.int32).at[tgt2].set(
-        r_nxt3, mode="drop")[:-1].reshape(TI, G)
-    s_last = jnp.zeros(TI * G + 1, bool).at[tgt2].set(
-        r_last, mode="drop")[:-1].reshape(TI, G)
-    pay_nxt = jnp.full((NC, G), -1, jnp.int32)
-    pay_nxt3 = jnp.full((NC, G), -1, jnp.int32)
-    pay_last = jnp.zeros((NC, G), bool)
+    s_grid = {
+        name: jnp.full(TI * G + 1, fill, jnp.int32).at[tgt2].set(
+            vals.astype(jnp.int32), mode="drop")[:-1].reshape(TI, G)
+        for name, (vals, fill) in rvals.items()}
+    pays = {name: jnp.full((NC, G), fill, jnp.int32)
+            for name, (_, fill) in rvals.items()}
     c_valid = skey[:TI] < NC
     for ti in range(TI):
         hit = (src_iota == skey[ti][None, :]) & c_valid[ti][None, :]
-        pay_nxt = jnp.where(hit, s_nxt[ti][None, :], pay_nxt)
-        pay_nxt3 = jnp.where(hit, s_nxt3[ti][None, :], pay_nxt3)
-        pay_last = jnp.where(hit, s_last[ti][None, :], pay_last)
-    pay_nxt = pay_nxt.reshape(XKe, LKp)
-    pay_nxt3 = pay_nxt3.reshape(XKe, LKp)
-    pay_last = pay_last.reshape(XKe, LKp)
+        for name in pays:
+            pays[name] = jnp.where(hit, s_grid[name][ti][None, :],
+                                   pays[name])
+    pay_nxt = pays["nxt"].reshape(XKe, LKp)
+    pay_nxt3 = pays["nxt3"].reshape(XKe, LKp)
+    pay_last = (pays["last"] > 0).reshape(XKe, LKp)
 
     # ---- link ring: shift out + append entering lane fronts -------------
-    ex_stack = jnp.stack(
-        [exited_l[a].astype(f) if a < len(exited_l) else jnp.zeros(LNp, f)
-         for a in range(AP)], axis=-1)                       # (LNp, AP)
+    ex_cols = [exited_l[a].astype(f) if a < len(exited_l)
+               else jnp.zeros(LNp, f) for a in range(AP)]
+    if cfg.lane_change:
+        # the lockstep/yield min runs in the lane domain, so the final
+        # front speeds/distances live there — exchange them forward
+        for a in range(AP):
+            ex_cols.append(new_dis_l[a])
+            ex_cols.append(new_spd_l[a])
+    ex_stack = jnp.stack(ex_cols, axis=-1)                   # (LNp, AP[*3])
     ex_in = fwd_exchange(ex_stack) * src_ok[:, None]
     ent_valid = []
     ent_bundles = []
     ENT_CH = ["dis", "speed", "flow", "route", "rpos", "enter", "prih",
               "pril", "uid", "nxtl"]
+    if cfg.lane_change:
+        ENT_CH = ENT_CH + ["gap"]
     for a in range(AP):
         ex_a = (ex_in[:, a] > 0).reshape(IL, G) & h_occ[a]
         ohl = ohls[a]
         ok = ex_a & (h_nxt[a] >= 0)
         okf = ok.astype(f)
-        src = [ap_out[a]["dis"] - il_len, ap_out[a]["spd"],
-               h_flow[a].astype(f), h_route[a].astype(f),
-               h_rpos[a].astype(f), h_enter[a], h_prih[a], h_pril[a],
-               h_uid[a].astype(f), h_nxt3[a].astype(f)]
+        if cfg.lane_change:
+            dis_f = ex_in[:, AP + 2 * a].reshape(IL, G)
+            spd_f = ex_in[:, AP + 2 * a + 1].reshape(IL, G)
+            src = [dis_f - il_len, spd_f]
+        else:
+            src = [ap_out[a]["dis"] - il_len, ap_out[a]["spd"]]
+        src += [h_flow[a].astype(f), h_route[a].astype(f),
+                h_rpos[a].astype(f), h_enter[a], h_prih[a], h_pril[a],
+                h_uid[a].astype(f), h_nxt3[a].astype(f)]
+        if cfg.lane_change:
+            src.append(ap_ch(14)[a])          # stale controllerInfo.gap
         got_ = to_link(ohl, [okf] + [jnp.where(ok, x, 0.0) for x in src])
         ent_valid.append(got_[0] > 0.5)
         ent_bundles.append(dict(zip(ENT_CH, got_[1:])))
@@ -1211,6 +1387,7 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
                             float(INT_MAX))
     new_k_entll = append_k(new_k_entll, ent_step_val,
                            float(INT_MAX)).astype(i32)
+    new_k_gap = commit_k(rs.k_gap, "gap", 0.0) if cfg.lane_change else None
 
     # ---- lane ring: shift out + append link leavers (pushBuffer order:
     #      distance desc, engine.cpp:477-494) ----------------------------
@@ -1230,6 +1407,14 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         prev=jnp.broadcast_to(
             (LNp + jnp.arange(LKp, dtype=i32))[None, :].astype(f),
             (SK, LKp)))
+    if cfg.lane_change:
+        payload["gap"] = rs.k_gap
+        payload["zero"] = jnp.zeros((SK, LKp), f)
+        for c in range(cfg.MAXLPR):
+            for nm in (f"rn{c}", f"ax{c}"):
+                payload[nm] = jnp.concatenate(
+                    [pays[nm].reshape(XKe, LKp).astype(f),
+                     jnp.full((SK - XKe, LKp), -1.0, f)], axis=0)
     PCH = list(payload.keys())
     cand_list, cand_valid = [], []
     for kin in range(cfg.KIN):
@@ -1261,13 +1446,41 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
                             OV_REMOVE, 0).astype(jnp.int32)
 
     m_l = jnp.zeros((OL, cfg.I), i32).at[:, :G].set(m_ol).reshape(-1)
-    new_n_l = rs.n_l - x_l + m_l
+    if cfg.lane_change:
+        # mid-ring deletions (finishing reals + aborted shadows) compose
+        # with the prefix leavers into one generalized rank-preserving
+        # delete: out[s] = updated[s+x] where s+x is the (s+1)-th kept
+        # slot, x bounded by XK prefix exits + LCD mid deaths
+        d_l = lcc["die_mid"].astype(i32).sum(0)
+        del_full = lcc["leave_full"] | lcc["die_mid"]
+        totdel = x_l + d_l
+        XD = min(cfg.XK + cfg.LCD, SL)
+        ov = ov | jnp.where(jnp.any(totdel > XD),
+                            OV_REMOVE, 0).astype(jnp.int32)
+        dexc = jnp.cumsum(del_full.astype(i32), axis=0) \
+            - del_full.astype(i32)
+        del_pad = jnp.concatenate(
+            [del_full, jnp.ones((XD, LNp), bool)], axis=0)
+        dex_pad = jnp.concatenate(
+            [dexc, jnp.full((XD, LNp), SL + XD, i32)], axis=0)
+    else:
+        totdel = x_l
+    new_n_l = rs.n_l - totdel + m_l
     ov = ov | jnp.where(jnp.any(new_n_l > SL), OV_SLOTS, 0).astype(jnp.int32)
     new_n_l = jnp.minimum(new_n_l, SL)
 
     def commit_l(updated, ch_i, fill, cast=None):
-        outv = shift_out(updated, x_l, SL, LNp, fill)
-        base = (rs.n_l - x_l)[None, :]
+        if cfg.lane_change:
+            upd_pad = jnp.concatenate(
+                [updated, jnp.full((XD, LNp), fill, updated.dtype)],
+                axis=0)
+            outv = jnp.full_like(updated, fill)
+            for x in range(XD + 1):
+                cond = ~del_pad[x:x + SL] & (dex_pad[x:x + SL] == x)
+                outv = jnp.where(cond, upd_pad[x:x + SL], outv)
+        else:
+            outv = shift_out(updated, x_l, SL, LNp, fill)
+        base = (rs.n_l - totdel)[None, :]
         for j in range(min(cfg.SA, A)):
             val = jnp.zeros((OL, cfg.I), f).at[:, :G].set(
                 jnp.where(cvalid_s[j], cands_s[j, ch_i], 0.0)).reshape(-1)
@@ -1292,6 +1505,34 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     new_l_nxt3 = commit_l(rs.l_nxt3.astype(f), PCH.index("nxt3"), -1.0, i32)
     new_l_last = commit_l(rs.l_last.astype(f), PCH.index("last"), 0.0) > 0.5
     new_l_prev = commit_l(rs.l_prev.astype(f), PCH.index("prev"), -1.0, i32)
+
+    lc_commit_kw = {}
+    if cfg.lane_change:
+        # pair-state epilogue (finishChanging/abortChanging + gen-1
+        # lc_commit): promote finishing reals' shadows, unlink broken
+        # pairs, integrate the lateral offset on surviving reals
+        chg_real = occ_l & rs.l_chg & ~rs.l_sh
+        clear = lcc["unlink_real"] | lcc["promote"] | lcc["unlink_sh"]
+        off_u = jnp.where(clear, f(0),
+                          jnp.where(chg_real,
+                                    lcc["new_off"] * lcc["dirn"], rs.l_off))
+        sh_u = rs.l_sh & ~(lcc["promote"] | lcc["unlink_sh"])
+        chg_u = rs.l_chg & ~rs.l_sh & ~lcc["unlink_real"]
+        dir_u = jnp.where(sh_u | chg_u, rs.l_dir, 0)
+        zi = PCH.index("zero")
+        lc_commit_kw = dict(
+            l_off=commit_l(off_u, zi, 0.0),
+            l_sh=commit_l(sh_u.astype(f), zi, 0.0) > 0.5,
+            l_chg=commit_l(chg_u.astype(f), zi, 0.0) > 0.5,
+            l_dir=commit_l(dir_u.astype(f), zi, 0.0, i32),
+            l_gap=commit_l(rs.l_gap, PCH.index("gap"), 0.0),
+            l_rnrow=jnp.stack(
+                [commit_l(rs.l_rnrow[c].astype(f), PCH.index(f"rn{c}"),
+                          -1.0, i32) for c in range(cfg.MAXLPR)], axis=0),
+            l_auxrow=jnp.stack(
+                [commit_l(rs.l_auxrow[c].astype(f), PCH.index(f"ax{c}"),
+                          -1.0, i32) for c in range(cfg.MAXLPR)], axis=0),
+            k_gap=new_k_gap)
 
     # ---- blocker graph commit (front-most failing vehicle per link) -----
     blk_new = jnp.full((LPI, G), -1, i32)
@@ -1336,7 +1577,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         k_enter=new_k_enter, k_pri=new_k_pri, k_uid=new_k_uid,
         k_nxtl=new_k_nxtl,
         k_custom=jnp.zeros((SK, LKp), f),
-        k_hascustom=jnp.zeros((SK, LKp), bool))
+        k_hascustom=jnp.zeros((SK, LKp), bool),
+        **lc_commit_kw)
     return new_rs, dbg
 
 

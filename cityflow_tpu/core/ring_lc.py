@@ -152,7 +152,10 @@ def lc_phase(net, cfg, rs, fx):
     from cityflow_tpu.core.ring import (
         no_collision_speed, _hilo, _from_hilo, _pri_gt)
 
-    rs = refresh_gaps(net, cfg, rs, fx)
+    # NOTE: refresh_gaps already ran on the PRE-admission state (the
+    # reference computes gaps in the END-of-previous-step
+    # updateLeaderAndGap, before this step's spawns exist); admitted
+    # vehicles carry their handleWaiting-time gap instead.
 
     sl_iota = jnp.arange(SL, dtype=i32)[:, None]
     occ = sl_iota < rs.n_l[None, :]
@@ -362,8 +365,10 @@ def lc_phase(net, cfg, rs, fx):
     started = do_change & inserted
 
     # ---- pre-insert channel updates (real side) -------------------------
+    # shadows keep their stored direction (it encodes where their real
+    # sits: the movement/commit partner lookups depend on it)
     chg2 = chg | started
-    dir2 = jnp.where(chg2, dirc, 0)
+    dir2 = jnp.where(sh, rs.l_dir, jnp.where(chg2, dirc, 0))
 
     # shadow bundle per source row (copies the real's controllerInfo,
     # lanechange.cpp:71-102 / vehicle copy ctor; drivable = target,

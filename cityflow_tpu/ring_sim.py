@@ -60,10 +60,13 @@ def _build_queues(gen: SpawnGenerator, meta: RingMeta, horizon: int,
 
 def build_sim(net: CompiledNet, horizon: int = 512,
               sl: Optional[int] = None, sk: Optional[int] = None,
-              tmax: int = 512, skc: Optional[int] = None) -> RingSim:
+              tmax: int = 512, skc: Optional[int] = None,
+              lane_change: Optional[bool] = None) -> RingSim:
     import jax.numpy as jnp
     cfgj = net.host.config
     interval = float(cfgj["interval"])
+    if lane_change is None:
+        lane_change = bool(cfgj.get("laneChange", False))
     tb, meta = build_ring(net, interval)
     if not meta.supported:
         raise ValueError(f"ring layout unsupported: {meta.unsupported_reason}")
@@ -89,7 +92,11 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         foe_via_perm=meta.foe_via_perm,
         SKC=(skc if skc is not None else 4),
         fwd_shifts=tuple(meta.fwd_shifts),
-        bwd_shifts=tuple(meta.bwd_shifts))
+        bwd_shifts=tuple(meta.bwd_shifts),
+        lane_change=bool(lane_change),
+        MAXLPR=int(np.asarray(tb["route_next"]).shape[2]),
+        inn_shifts=tuple(meta.inn_shifts),
+        out_shifts=tuple(meta.out_shifts))
 
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
     q = _build_queues(gen, meta, horizon)
@@ -113,6 +120,9 @@ def fetch_vehicles(sim: RingSim):
     st = sim.state
     names = ["n_l", "n_k", "l_uid", "l_dis", "l_speed", "k_uid", "k_dis",
              "k_speed"]
+    lc = sim.cfg.lane_change
+    if lc:
+        names.append("l_sh")
     vals = jax.device_get([getattr(st, n) for n in names])
     c = dict(zip(names, vals))
     out = {}
@@ -122,7 +132,10 @@ def fetch_vehicles(sim: RingSim):
         if lane < 0:
             continue
         for s in range(int(c["n_l"][pos])):
-            out[int(c["l_uid"][s, pos])] = (
+            uid = int(c["l_uid"][s, pos])
+            if lc and bool(c["l_sh"][s, pos]):
+                uid |= 1 << 30          # gen-1 shadow-uid convention
+            out[uid] = (
                 int(lane), float(c["l_dis"][s, pos]),
                 float(c["l_speed"][s, pos]))
     for pos in range(m.LKp):

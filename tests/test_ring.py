@@ -48,7 +48,8 @@ def _gen1_setup(cfg_path, steps, max_vehicles=2048):
         max_vehicles=max_vehicles, max_spawn_per_step=gen.max_per_step,
         k_link=k_link, k_scan=6, k_hop=4,
         k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
-        rl_traffic_light=bool(cfgj["rlTrafficLight"]), exact=False)
+        rl_traffic_light=bool(cfgj["rlTrafficLight"]),
+        lane_change=bool(cfgj.get("laneChange", False)), exact=False)
     net_dev = _net_device_arrays(net, np.float32)
     st = init_state(cfg1, net.num_inters, net.phase_time, net.n_phases,
                     net.phase_offset)
