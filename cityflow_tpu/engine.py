@@ -94,7 +94,11 @@ class Archive:
 class Engine:
     def __init__(self, config_file: str, thread_num: int = 1,
                  exact: bool = True, max_vehicles: int = 2048,
-                 spawn_horizon: int = 4096):
+                 spawn_horizon: int = 4096, backend: str = "auto"):
+        """backend: "auto" picks the gen-2 ring fast path when
+        exact=False and the scenario fits the ring layout (grid nets,
+        uniform vehicle templates); "gen1" forces the slot-pool path;
+        "ring" requires the ring (raises when unsupported)."""
         del thread_num  # results are threadNum-independent (SURVEY.md 2.4)
         self._config_file = config_file
         self.net = compile_scenario(config_file)
@@ -137,7 +141,19 @@ class Engine:
             lane_change=self.lane_change,
             exact=exact,
             track_history=(self.router_type == "DURATION"))
-        self.state = self._fresh_state()
+        self._ring = None
+        if not exact and backend in ("auto", "ring") \
+                and self.router_type != "DURATION":
+            from cityflow_tpu.ring_backend import RingShell
+            try:
+                self._ring = RingShell(self)
+            except ValueError:
+                if backend == "ring":
+                    raise
+        elif backend == "ring":
+            raise ValueError("backend='ring' requires exact=False and "
+                             "routerType LENGTH")
+        self.state = None if self._ring else self._fresh_state()
         self._manually_pushed = 0
         self._pushed_ids: Dict[int, str] = {}   # uid -> custom id
         self._fetched_step = -1
@@ -179,7 +195,21 @@ class Engine:
         if cfg.max_vehicles != oldV:
             self.state = _pad_state(self.state, oldV, cfg.max_vehicles)
 
+    def _now_step(self) -> int:
+        if self._ring is not None:
+            return self._ring.now_step()
+        return int(self.state.step)
+
+    def _phases_np(self) -> np.ndarray:
+        """Current phase per intersection in ORIGINAL order (replay)."""
+        if self._ring is not None:
+            return self._ring.phases_np()
+        return np.asarray(jax.device_get(self.state.phase))
+
     def _step_once(self):
+        if self._ring is not None:
+            self._ring.step_once()
+            return
         if int(self.state.step) + 1 >= self._spawn.next_step:
             self._spawn.extend(self._spawn.next_step * 2)
             self._upload_spawn()
@@ -199,6 +229,13 @@ class Engine:
         raise RuntimeError("simulation capacity growth failed")
 
     def _fetch(self) -> Dict[str, np.ndarray]:
+        if self._ring is not None:
+            key = (self._ring.now_step(), self._manually_pushed)
+            if self._fetched_step != key:
+                self._cache = self._ring.fetch()
+                self._fetched_step = key
+                self._id_map = None
+            return self._cache
         key = (int(self.state.step), int(self.state.spawn_cursor))
         if self._fetched_step != key:
             st = self.state
@@ -208,6 +245,9 @@ class Engine:
                      "lc_last_dir", "offset"]
             vals = jax.device_get([getattr(st, n) for n in names])
             self._cache = dict(zip(names, vals))
+            params = np.asarray(jax.device_get(st.params))
+            self._cache["len"] = params[:, 1]
+            self._cache["width"] = params[:, 2]
             self._fetched_step = key
             self._id_map = None       # lazy per-fetch id -> slot index
         return self._cache
@@ -249,8 +289,7 @@ class Engine:
     def reset(self, seed: bool = False):
         """reference Engine::reset (engine.cpp:744-760): flows and state
         reset; the mt19937 stream continues unless resetRnd."""
-        cur = int(self.state.step)
-        self.state = self._fresh_state()
+        cur = self._now_step()
         self._pushed_ids.clear()
         self._manually_pushed = 0
         self._fetched_step = -1
@@ -258,14 +297,22 @@ class Engine:
                                 current_step=cur)
         self._spawn.extend(self._spawn_horizon)
         self._upload_spawn()
+        if self._ring is not None:
+            self._ring.reset()
+        else:
+            self.state = self._fresh_state()
         return None
 
     def set_random_seed(self, seed: int):
         """reference Engine::setRandomSeed: reseeds the stream mid-run."""
         self.seed = int(seed)
-        self._spawn.reseed(seed, int(self.state.step))
-        self._spawn.extend(max(self._spawn_horizon, int(self.state.step) * 2))
+        cur = self._now_step()
+        self._spawn.reseed(seed, cur)
+        self._spawn.extend(max(self._spawn_horizon, cur * 2))
         self._upload_spawn()
+        if self._ring is not None:
+            self._ring.on_spawn_changed()
+            self._fetched_step = -1
 
     def set_tl_phase(self, intersection_id: str, phase_id: int):
         """reference engine.cpp:719-725 (guarded by rlTrafficLight)."""
@@ -273,6 +320,9 @@ class Engine:
             print("please set rlTrafficLight to true to enable traffic light control")
             return
         idx = self.net.host.inter_index[intersection_id]
+        if self._ring is not None:
+            self._ring.set_tl_phase(idx, int(phase_id))
+            return
         self.state = self.state.replace_fields(
             phase=self.state.phase.at[idx].set(int(phase_id)))
 
@@ -280,6 +330,12 @@ class Engine:
         slot = self._id_to_slot(vid)
         if slot is None:
             raise RuntimeError(f"Vehicle '{vid}' not found")
+        if self._ring is not None:
+            c = self._fetch()
+            self._ring.set_custom_speed(
+                {k: c[k][slot] for k in ("kind", "pos", "slot")}, speed)
+            self._fetched_step = -1
+            return
         st = self.state
         self.state = st.replace_fields(
             custom_speed=st.custom_speed.at[slot].set(speed),
@@ -377,7 +433,10 @@ class Engine:
         except KeyError:
             return False
         cur_road = host.net.lanes[drv].road
-        max_spd = float(jax.device_get(self.state.params[slot, 8]))
+        if self._ring is not None:
+            max_spd = float(self._ring.sim.meta.param_row[8])
+        else:
+            max_spd = float(jax.device_get(self.state.params[slot, 8]))
         route = flows_mod.update_shortest_path(
             host.net, [cur_road] + anchor_roads,
             cost=self._router_cost(max_spd))
@@ -388,6 +447,13 @@ class Engine:
         if len(route) > 1 and \
                 self.net.route_next_ll[rid, 0, host.net.lanes[drv].lane_index] < 0:
             return False
+        if self._ring is not None:
+            c = self._fetch()
+            ok = self._ring.set_route(
+                {k: c[k][slot] for k in ("kind", "pos", "slot", "drv")}, rid)
+            if ok:
+                self._fetched_step = -1
+            return ok
         st = self.state
         self.state = st.replace_fields(
             route=st.route.at[slot].set(rid),
@@ -413,6 +479,12 @@ class Engine:
             minGap=float(info.get("minGap", 2.0)),
             maxSpeed=float(info.get("maxSpeed", 16.66667)),
             headwayTime=float(info.get("headwayTime", 1.0)))
+        if self._ring is not None and \
+                not self._ring.check_uniform_template(tpl.as_list()):
+            raise ValueError(
+                "the ring backend bakes the scenario's single uniform "
+                "vehicle template; push_vehicle with different parameters "
+                "needs Engine(..., backend='gen1') (or exact=True)")
         anchor_roads = [host.net.road_map[r] for r in roads]
         route = flows_mod.update_shortest_path(
             host.net, anchor_roads, cost=self._router_cost(tpl.maxSpeed))
@@ -431,10 +503,15 @@ class Engine:
         self._manually_pushed += 1
         cands = (flows_mod.first_lane_candidates(route)
                  if route is not None else [])
-        self._spawn.inject_manual(int(self.state.step),
+        self._spawn.inject_manual(self._now_step(),
                                   anchor_roads[0].index, fid, rid,
                                   [l.index for l in cands], serial)
         self._upload_spawn()
+        if self._ring is not None:
+            if rid >= 0:
+                self._ring.refresh_route_tables(rid)
+            self._ring.on_spawn_changed()
+            self._fetched_step = -1
         if self._spawn.max_per_step > self.cfg.max_spawn_per_step:
             self.cfg = dc_replace(
                 self.cfg, max_spawn_per_step=self._spawn.max_per_step)
@@ -448,7 +525,7 @@ class Engine:
     # query API
     # ------------------------------------------------------------------
     def get_current_time(self) -> float:
-        return int(self.state.step) * self.interval
+        return self._now_step() * self.interval
 
     def get_vehicle_count(self) -> int:
         c = self._fetch()
@@ -517,8 +594,11 @@ class Engine:
         """reference engine.cpp:682-691: finished cumulative + in-flight,
         summed over the pool in priority order (float64 order preserved)."""
         c = self._fetch()
-        tt = float(self.state.cum_travel)
-        n = int(self.state.finished_cnt)
+        if self._ring is not None:
+            tt, n = self._ring.stats()
+        else:
+            tt = float(self.state.cum_travel)
+            n = int(self.state.finished_cnt)
         now = self.get_current_time()
         slots = np.nonzero(c["active"])[0]
         slots = slots[np.argsort(c["priority"][slots], kind="stable")]
@@ -585,11 +665,31 @@ class Engine:
         """reference Archive(engine) (archive.cpp:9-37): device state plus the
         full spawn/RNG stream state (archive.cpp:161-165 serializes the
         mt19937; ours snapshots the replay origin + manual pushes)."""
-        return Archive(self.state, dict(pushed=self._pushed_ids,
-                                        manually_pushed=self._manually_pushed,
-                                        spawn=self._spawn.snapshot_state()))
+        aux = dict(pushed=self._pushed_ids,
+                   manually_pushed=self._manually_pushed,
+                   spawn=self._spawn.snapshot_state())
+        if self._ring is not None:
+            aux["ring_step"] = self._ring.step_count
+            aux["ring_ov"] = self._ring._known_ov
+            return Archive(self._ring.sim.state, aux)
+        return Archive(self.state, aux)
 
     def load(self, archive: Archive):
+        if self._ring is not None:
+            self._ring.sim.state = archive.state
+            self._ring.step_count = archive.host_aux.get(
+                "ring_step", int(jax.device_get(archive.state.step)))
+            self._ring._known_ov = archive.host_aux.get("ring_ov", 0)
+            self._pushed_ids = copy.deepcopy(archive.host_aux["pushed"])
+            self._manually_pushed = archive.host_aux["manually_pushed"]
+            if "spawn" in archive.host_aux:
+                self._spawn.restore_state(archive.host_aux["spawn"])
+                self._spawn.extend(max(self._spawn.next_step,
+                                       self._ring.step_count + 2))
+                self._upload_spawn()
+                self._ring.on_spawn_changed()
+            self._fetched_step = -1
+            return
         self.state = archive.state
         self._pushed_ids = copy.deepcopy(archive.host_aux["pushed"])
         self._manually_pushed = archive.host_aux["manually_pushed"]

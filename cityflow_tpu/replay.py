@@ -161,15 +161,15 @@ def step_line(engine, cache) -> str:
         ang = math.atan2(u[1], u[0])
         lc = int(cache["lc_last_dir"][s]) if "lc_last_dir" in cache else 0
         vid = engine._veh_id(int(cache["uid"][s]))
-        ln = float(engine.state.params[s, 1])
-        wd = float(engine.state.params[s, 2])
+        ln = float(cache["len"][s])
+        wd = float(cache["width"][s])
         # shortest round-trip formatting = the reference's milo dtoa
         # (double2string, utility.h:74-79); python float repr matches it
         parts.append(f"{float(pt[0])!r} {float(pt[1])!r} {float(ang)!r} "
                      f"{vid} {lc} {float(ln)!r} {float(wd)!r},")
     parts.append(";")
 
-    phase = np.asarray(engine.state.phase)
+    phase = engine._phases_np()
     for road in host.net.roads:
         if road.end_intersection.virtual:
             continue

@@ -112,6 +112,226 @@ def step(sim: RingSim):
     return sim.state
 
 
+def rebuild_queues(sim: RingSim, gen: SpawnGenerator, horizon: int):
+    """Re-derive the per-entry-lane queues from (a longer prefix of) the
+    spawn stream. The stream replay is deterministic, so the per-lane
+    grouping of already-consumed rows is unchanged and the live
+    `el_cursor` values stay valid; only new rows append."""
+    import jax.numpy as jnp
+    q = _build_queues(gen, sim.meta, horizon)
+    sim.q = {k: jnp.asarray(v) for k, v in q.items()}
+    sim.gen = gen
+    return sim
+
+
+def grow_slots(sim: RingSim, dsl: int = 0, dsk: int = 0):
+    """Capacity growth: rings are front-prefix compact (slots >= n are
+    empty), so appending empty tail slots is state-preserving. Triggers a
+    recompile (new SL/SK static shapes)."""
+    import dataclasses
+    import jax.numpy as jnp
+    if not dsl and not dsk:
+        return sim
+    st = sim.state
+    cfg = sim.cfg
+
+    def padl(a, fill):
+        if a is None:
+            return None
+        ext = jnp.full((dsl,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, ext], axis=0)
+
+    def padk(a, fill):
+        if a is None:
+            return None
+        ext = jnp.full((dsk,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, ext], axis=0)
+
+    kw = {}
+    if dsl:
+        for n in ("l_dis", "l_speed", "l_enter", "l_custom", "l_off",
+                  "l_gap", "l_yv"):
+            if getattr(st, n) is not None:
+                kw[n] = padl(getattr(st, n), 0.0)
+        for n, fill in (("l_flow", 0), ("l_route", 0), ("l_rpos", 0),
+                        ("l_nxt", -1), ("l_nxt3", -1), ("l_prev", -1),
+                        ("l_pri", 0), ("l_uid", -1), ("l_dir", 0)):
+            if getattr(st, n) is not None:
+                kw[n] = padl(getattr(st, n), fill)
+        for n in ("l_last", "l_hascustom", "l_sh", "l_chg"):
+            if getattr(st, n) is not None:
+                kw[n] = padl(getattr(st, n), False)
+        if st.l_rnrow is not None:
+            kw["l_rnrow"] = jnp.concatenate(
+                [st.l_rnrow, jnp.full(
+                    (st.l_rnrow.shape[0], dsl, cfg.LNp), -1,
+                    st.l_rnrow.dtype)], axis=1)
+            kw["l_auxrow"] = jnp.concatenate(
+                [st.l_auxrow, jnp.full(
+                    (st.l_auxrow.shape[0], dsl, cfg.LNp), -1,
+                    st.l_auxrow.dtype)], axis=1)
+    if dsk:
+        for n in ("k_dis", "k_speed", "k_enter", "k_custom", "k_gap"):
+            if getattr(st, n) is not None:
+                kw[n] = padk(getattr(st, n), 0.0)
+        for n, fill in (("k_flow", 0), ("k_route", 0), ("k_rpos", 0),
+                        ("k_entll", 0), ("k_pri", 0), ("k_uid", -1),
+                        ("k_nxtl", -1)):
+            kw[n] = padk(getattr(st, n), fill)
+        kw["k_hascustom"] = padk(st.k_hascustom, False)
+    sim.state = st.replace_fields(**kw)
+    sim.cfg = dataclasses.replace(cfg, SL=cfg.SL + dsl, SK=cfg.SK + dsk)
+    return sim
+
+
+def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
+    """Full host view in the gen-1 cache shape (engine.Engine._fetch):
+    one row per live vehicle (lane slots first, then link slots) plus one
+    row per spawned-but-waiting queue entry. Extra keys:
+      kind/pos/slot — write-back coordinates for mutations,
+      len/width     — template geometry (uniform by ring contract).
+    Vectorized numpy; no per-vehicle Python loops on the device data."""
+    import jax
+    m = sim.meta
+    st = sim.state
+    cfg = sim.cfg
+    lc = cfg.lane_change
+    names = ["n_l", "n_k", "step", "l_uid", "l_dis", "l_speed", "l_route",
+             "l_rpos", "l_enter", "l_pri", "l_prev", "l_custom",
+             "l_hascustom",
+             "k_uid", "k_dis", "k_speed", "k_route", "k_rpos", "k_enter",
+             "k_pri", "k_custom", "k_hascustom", "el_cursor"]
+    if lc:
+        names += ["l_sh", "l_dir", "l_off", "l_gap", "k_gap"]
+    vals = jax.device_get([getattr(st, n) for n in names])
+    c = dict(zip(names, vals))
+    SL, LNp = c["l_uid"].shape
+    SK, LKp = c["k_uid"].shape
+    now = int(c["step"])
+    L = sim.net.num_lanes
+
+    lmask = (np.arange(SL)[:, None] < c["n_l"][None, :]) \
+        & (m.pos_lane >= 0)[None, :]
+    kmask = (np.arange(SK)[:, None] < c["n_k"][None, :]) \
+        & (m.pos_link >= 0)[None, :]
+    ls, lp = np.nonzero(lmask)
+    ks, kp = np.nonzero(kmask)
+    nl, nk = len(ls), len(ks)
+
+    def litem(name):
+        return c[name][ls, lp]
+
+    def kitem(name):
+        return c[name][ks, kp]
+
+    out = {}
+    out["kind"] = np.concatenate([np.zeros(nl, np.int32),
+                                  np.ones(nk, np.int32)])
+    out["pos"] = np.concatenate([lp.astype(np.int32), kp.astype(np.int32)])
+    out["slot"] = np.concatenate([ls.astype(np.int32), ks.astype(np.int32)])
+    out["drv"] = np.concatenate([m.pos_lane[lp],
+                                 L + m.pos_link[kp]]).astype(np.int32)
+    for g1, ln, kn in (("dis", "l_dis", "k_dis"),
+                       ("speed", "l_speed", "k_speed"),
+                       ("route", "l_route", "k_route"),
+                       ("enter_time", "l_enter", "k_enter"),
+                       ("priority", "l_pri", "k_pri"),
+                       ("uid", "l_uid", "k_uid"),
+                       ("custom_speed", "l_custom", "k_custom"),
+                       ("has_custom", "l_hascustom", "k_hascustom")):
+        out[g1] = np.concatenate([litem(ln), kitem(kn)])
+    # k_rpos stores the pre-transfer rpos; +1 lands on arrival at the next
+    # lane (commit payload `rpos=k_rpos+1`), matching gen-1 route_pos
+    out["route_pos"] = np.concatenate([litem("l_rpos"), kitem("k_rpos")])
+    prev_lane = np.where(lp >= 0, c["l_prev"][ls, lp], -1)
+    pl = np.full(nl, -1, np.int64)
+    pv = prev_lane >= LNp
+    pl[pv] = L + m.pos_link[np.clip(prev_lane[pv] - LNp, 0, LKp - 1)]
+    pu = (prev_lane >= 0) & ~pv
+    pl[pu] = m.pos_lane[np.clip(prev_lane[pu], 0, LNp - 1)]
+    kprev = m.pos_link[kp]          # link vehicles: came from its start lane
+    out["prev_drv"] = np.concatenate([pl, np.where(
+        kprev >= 0, -1, -1)]).astype(np.int32)
+    out["is_shadow"] = np.concatenate(
+        [litem("l_sh"), np.zeros(nk, bool)]) if lc \
+        else np.zeros(nl + nk, bool)
+    out["offset"] = np.concatenate(
+        [litem("l_off"), np.zeros(nk)]) if lc else np.zeros(nl + nk)
+    out["lc_last_dir"] = np.concatenate(
+        [litem("l_dir"), np.zeros(nk, np.int32)]).astype(np.int32) if lc \
+        else np.zeros(nl + nk, np.int32)
+    out["gap"] = np.concatenate(
+        [litem("l_gap"), kitem("k_gap")]) if lc else np.zeros(nl + nk)
+    # in-ring order IS the front-to-back list order
+    out["list_seq"] = out["slot"].astype(np.int32)
+    # leader: the slot above in the same ring (front slots: none — the
+    # cross-drivable leader of Vehicle::updateLeaderAndGap is not stored
+    # per-slot in the ring layout)
+    lead = np.full(nl + nk, -1, np.int64)
+    idx_l = np.full((SL, LNp), -1, np.int64)
+    idx_l[ls, lp] = np.arange(nl)
+    has_above_l = ls > 0
+    lead[:nl][has_above_l] = idx_l[ls[has_above_l] - 1, lp[has_above_l]]
+    idx_k = np.full((SK, LKp), -1, np.int64)
+    idx_k[ks, kp] = nl + np.arange(nk)
+    has_above_k = ks > 0
+    lead[nl:][has_above_k] = idx_k[ks[has_above_k] - 1, kp[has_above_k]]
+    out["leader"] = lead.astype(np.int32)
+    # partner: the row with the same uid and the opposite shadow flag
+    part = np.full(nl + nk, -1, np.int32)
+    if lc and nl:
+        keyed = {}
+        for i in range(nl):
+            keyed[(int(out["uid"][i]), bool(out["is_shadow"][i]))] = i
+        for i in range(nl):
+            j = keyed.get((int(out["uid"][i]), not bool(out["is_shadow"][i])))
+            if j is not None and (out["lc_last_dir"][i]
+                                  or out["lc_last_dir"][j]):
+                part[i] = j
+    out["partner"] = part
+    out["running"] = np.ones(nl + nk, bool)
+
+    # spawned-but-waiting queue rows (gen-1: active & ~running)
+    if gen is None:
+        gen = sim.gen
+    qh = {k: np.asarray(jax.device_get(v)) for k, v in sim.q.items()}
+    EL, QCAP = qh["step"].shape
+    cur = c["el_cursor"]
+    col = np.arange(QCAP)[None, :]
+    # spawn processing for step s runs INSIDE the (s+1)-th next_step call
+    # (pre-increment rs.step == s), so after `now` completed steps only
+    # rows with step < now have been created in the reference's pool
+    wmask = (col >= cur[:, None]) & (qh["step"] >= 0) & (qh["step"] < now)
+    we, wj = np.nonzero(wmask)
+    nw = len(we)
+    if nw:
+        wrow = {k: qh[k][we, wj] for k in qh}
+        pad = {
+            "kind": np.full(nw, 2, np.int32), "pos": we.astype(np.int32),
+            "slot": wj.astype(np.int32), "drv": np.full(nw, -1, np.int32),
+            "dis": np.zeros(nw), "speed": np.zeros(nw),
+            "route": wrow["route"], "route_pos": np.zeros(nw, np.int32),
+            "enter_time": wrow["step"].astype(np.float64) * cfg.interval,
+            "priority": wrow["pri"], "uid": wrow["uid"],
+            "custom_speed": np.zeros(nw), "has_custom": np.zeros(nw, bool),
+            "prev_drv": np.full(nw, -1, np.int32),
+            "is_shadow": np.zeros(nw, bool), "offset": np.zeros(nw),
+            "lc_last_dir": np.zeros(nw, np.int32), "gap": np.zeros(nw),
+            "list_seq": np.zeros(nw, np.int32),
+            "leader": np.full(nw, -1, np.int32),
+            "partner": np.full(nw, -1, np.int32),
+            "running": np.zeros(nw, bool),
+        }
+        for k in out:
+            out[k] = np.concatenate([out[k], pad[k]])
+    n = nl + nk + nw
+    out["active"] = np.ones(n, bool)
+    p = m.param_row
+    out["len"] = np.full(n, float(p[1]))
+    out["width"] = np.full(n, float(p[2]))
+    return out
+
+
 def fetch_vehicles(sim: RingSim):
     """Host view: {uid: (global_drivable_id, dis, speed)} for all running
     vehicles (used by tests and the Engine getters)."""
