@@ -10,6 +10,19 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def rl_phase_commands(step, inter_ids, n_phases=8, period=5):
+    """Deterministic RL-controller schedule (BASELINE config #2): every
+    `period` steps each real intersection gets an explicit phase via
+    set_tl_phase.  The same rule generates the oracle's --phases file
+    (tools/oracle/dump_golden.cpp) and drives the engine under test, so
+    the golden and the replay agree without a shared artifact."""
+    if step % period:
+        return []
+    k = step // period
+    return [(iid, (k * 7 + 3 * i) % n_phases)
+            for i, iid in enumerate(inter_ids)]
+
+
 def golden_records(name):
     with gzip.open(os.path.join(HERE, "goldens", name), "rt") as f:
         for line in f:

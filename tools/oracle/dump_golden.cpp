@@ -15,6 +15,7 @@
 #include <cstring>
 #include <string>
 #include <chrono>
+#include <vector>
 
 using namespace CityFlow;
 
@@ -26,10 +27,26 @@ int main(int argc, char **argv) {
     int steps = atoi(argv[2]);
     int threads = 1, every = 1;
     bool staticOnly = false;
+    const char *phasesFile = nullptr;
     for (int i = 3; i < argc; i++) {
         if (!strcmp(argv[i], "--threads")) threads = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--every")) every = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--static-only")) staticOnly = true;
+        else if (!strcmp(argv[i], "--phases")) phasesFile = argv[++i];
+    }
+
+    // RL-phase schedule: text lines "t intersection_id phase"; applied via
+    // setTrafficLightPhase before the nextStep that advances to step t+1
+    // (the user-controller call order, BASELINE config #2)
+    struct PhaseCmd { int t; std::string id; int phase; };
+    std::vector<PhaseCmd> phaseCmds;
+    if (phasesFile) {
+        FILE *pf = fopen(phasesFile, "rb");
+        if (!pf) { fprintf(stderr, "cannot open %s\n", phasesFile); return 1; }
+        char idbuf[256]; int t, ph;
+        while (fscanf(pf, "%d %255s %d", &t, idbuf, &ph) == 3)
+            phaseCmds.push_back({t, idbuf, ph});
+        fclose(pf);
     }
 
     Engine eng(config, threads);
@@ -84,7 +101,13 @@ int main(int argc, char **argv) {
 
     // ---- per-step dump ----
     auto t0 = std::chrono::steady_clock::now();
+    size_t cmdIdx = 0;
     for (int t = 0; t < steps; t++) {
+        while (cmdIdx < phaseCmds.size() && phaseCmds[cmdIdx].t == t) {
+            eng.setTrafficLightPhase(phaseCmds[cmdIdx].id,
+                                     phaseCmds[cmdIdx].phase);
+            cmdIdx++;
+        }
         eng.nextStep();
         if ((t + 1) % every != 0) continue;
         printf("{\"type\":\"step\",\"t\":%d,\"vehicles\":[", t + 1);
