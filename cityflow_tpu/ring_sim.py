@@ -108,7 +108,14 @@ def build_sim(net: CompiledNet, horizon: int = 512,
 
 
 def step(sim: RingSim):
-    sim.state = ring_step(sim.tables, sim.cfg, sim.state, sim.q)
+    if sim.net.num_links > 16000:
+        # split compilation: monolithic city-scale programs (30x30+)
+        # schedule ~8x worse and exceed practical XLA compile budgets
+        # (docs/design.md); identical semantics by construction
+        from cityflow_tpu.core.ring import ring_step_split
+        sim.state = ring_step_split(sim.tables, sim.cfg, sim.state, sim.q)
+    else:
+        sim.state = ring_step(sim.tables, sim.cfg, sim.state, sim.q)
     return sim.state
 
 
