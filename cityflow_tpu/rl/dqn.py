@@ -12,12 +12,12 @@ across intersections (parameter tying, the standard PressLight/MPLight
 setup). Pure jax (no flax dependency) so it composes with shard_map freely.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from cityflow_tpu.core import observe
 from cityflow_tpu.core import step as step_mod
@@ -47,41 +47,59 @@ def q_values(p: QParams, obs):
 
 
 def build_intersection_obs(net_dev, cfg, max_phases: int):
-    """Per-intersection local observation builder: [in-lane waiting,
-    in-lane counts, out-lane waiting, phase one-hot] scatter-summed from
-    lanelink endpoints. Returns (obs_fn, obs_dim)."""
+    """Per-intersection observation builder: for every phase p — total
+    waiting on the phase's enabled upstream lanes and the phase's pressure
+    (upstream minus downstream waiting) — plus the current-phase one-hot.
+
+    Per-PHASE features are what make a useful greedy policy representable:
+    a linear Q over them recovers MaxPressure. (An aggregate per-inter
+    scalar can't tell which phase serves the queue — the round-2 learner's
+    core defect.) Returns (obs_fn, obs_dim)."""
     I = net_dev["phase_offset"].shape[0]
 
     # net tables arrive as an ARGUMENT (closure constants get re-staged per
     # dispatch by the axon runtime — see docs/design.md).
     def obs_fn(net_a, st):
         w = observe.lane_waiting_vehicle_count(cfg, st).astype(jnp.float32)
-        c = observe.lane_vehicle_count(cfg, st).astype(jnp.float32)
+        win = w[net_a["ll_start"]]                           # (LL,)
+        press = win - w[net_a["ll_end"]]
         inter = net_a["ll_inter"]
-        start_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_a["ll_start"]])
-        start_c = jnp.zeros(I, jnp.float32).at[inter].add(c[net_a["ll_start"]])
-        end_w = jnp.zeros(I, jnp.float32).at[inter].add(w[net_a["ll_end"]])
+        n_ph = net_a["n_phases"][inter]
+        MRL = net_a["phase_rl_avail"].shape[1]
+        base = net_a["phase_offset"][inter]
+        flat_avail = net_a["phase_rl_avail"].reshape(-1)
+        fw = jnp.zeros((I, max_phases), jnp.float32)
+        fp = jnp.zeros((I, max_phases), jnp.float32)
+        for p in range(max_phases):
+            ok = p < n_ph
+            avail = jnp.take(
+                flat_avail,
+                jnp.clip((base + p) * MRL + net_a["ll_rl_local"],
+                         0, flat_avail.shape[0] - 1))
+            m = ok & avail
+            fw = fw.at[inter, p].add(jnp.where(m, win, 0.0))
+            fp = fp.at[inter, p].add(jnp.where(m, press, 0.0))
         phase_1h = jax.nn.one_hot(st.phase, max_phases)
-        return jnp.concatenate(
-            [start_w[:, None], start_c[:, None], end_w[:, None], phase_1h],
-            axis=-1) / 10.0
+        return jnp.concatenate([fw / 10.0, fp / 10.0, phase_1h], axis=-1)
 
-    return obs_fn, 3 + max_phases
+    return obs_fn, 3 * max_phases
 
 
 def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
                         lr: float = 1e-3, gamma: float = 0.9,
                         sim_steps_per_action: int = 5):
     """Returns (init_fn, train_step) where train_step advances every env by
-    one action interval and applies one TD(0) update to the shared Q-MLP
-    against a TARGET network (bootstrap targets stay fixed between syncs —
-    without it the loss tracks the growing vehicle count instead of
-    converging; VERDICT r02 weak item 5).
-    train_step: (params, target, state_B, spawn_tbl, key, eps) ->
-                (params, state_B, key, metrics); the caller syncs
-                target <- params every K iterations."""
+    one action interval and applies one Double-DQN TD(0) update (Adam +
+    global-norm clip + Huber) to the shared Q-MLP against a TARGET network
+    (bootstrap targets stay fixed between syncs — without it the loss
+    tracks the growing vehicle count instead of converging).
+    init_fn: key -> (params, opt_state)
+    train_step: (net_a, params, target, opt_state, state_B, spawn_tbl,
+                 key, eps) -> (params, opt_state, state_B, key, metrics);
+    the caller syncs target <- params every K iterations."""
     obs_fn, obs_dim = build_intersection_obs(net_dev, cfg, max_phases)
     n_phases = net_dev["n_phases"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
 
     def masked_q(p, obs):
         q = q_values(p, obs)                                 # (I, A)
@@ -98,13 +116,17 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
     def td_loss(p, target, obs, actions, rewards, obs_next):
         q = q_values(p, obs)                                 # (B, I, A)
         qa = jnp.take_along_axis(q, actions[..., None], axis=-1)[..., 0]
-        q_next = jax.lax.stop_gradient(
-            jnp.max(jax.vmap(lambda o: masked_q(target, o))(obs_next),
-                    axis=-1))
+        # Double DQN: online net picks the next action, target net rates it
+        a_next = jnp.argmax(jax.vmap(lambda o: masked_q(p, o))(obs_next),
+                            axis=-1)
+        q_next_t = jax.vmap(lambda o: q_values(target, o))(obs_next)
+        q_next = jax.lax.stop_gradient(jnp.take_along_axis(
+            q_next_t, a_next[..., None], axis=-1)[..., 0])
         target_v = rewards + gamma * q_next
-        return jnp.mean((qa - target_v) ** 2)
+        return jnp.mean(optax.huber_loss(qa, target_v))
 
-    def train_step(net_a, params, target, state, spawn_tbl, key, eps):
+    def train_step(net_a, params, target, opt_state, state, spawn_tbl,
+                   key, eps):
         obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_a, state)  # (B, I, F)
         q = jax.vmap(lambda o: masked_q(params, o))(obs)
         key, k1 = jax.random.split(key)
@@ -129,18 +151,15 @@ def make_dqn_train_step(net_dev, cfg, max_phases: int, hidden: int = 64,
 
         loss, grads = jax.value_and_grad(td_loss)(
             params, target, obs, actions, rewards, obs_next)
-        # global-norm clip: raw TD grads diverge once the net fills up
-        gnorm = jnp.sqrt(sum(jnp.sum(g * g)
-                             for g in jax.tree_util.tree_leaves(grads)))
-        scale = jnp.minimum(1.0, 5.0 / (gnorm + 1e-8))
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * scale * g,
-                                        params, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         metrics = dict(loss=loss, mean_reward=jnp.mean(rewards))
-        return params, new_state, key, metrics
+        return params, opt_state, new_state, key, metrics
 
     def init_fn(key):
-        return init_params(key, obs_dim, hidden,
-                           int(jnp.max(jnp.maximum(n_phases, 1))))
+        p = init_params(key, obs_dim, hidden,
+                        int(jnp.max(jnp.maximum(n_phases, 1))))
+        return p, tx.init(p)
 
     return init_fn, train_step
 
@@ -175,7 +194,7 @@ def train(config_path: str, batch: int = 16, iters: int = 20,
 
     init_fn, train_step = make_dqn_train_step(net_dev, cfg, max_phases)
     key = jax.random.PRNGKey(seed)
-    params = init_fn(key)
+    params, opt_state = init_fn(key)
     target = params
     st0 = init_state(cfg, net.num_inters, net.phase_time, net.n_phases,
                      net.phase_offset)
@@ -187,10 +206,11 @@ def train(config_path: str, batch: int = 16, iters: int = 20,
         state = jax.device_put(state, shard)
         params = jax.device_put(params, repl)
         target = jax.device_put(target, repl)
+        opt_state = jax.device_put(opt_state, repl)
         step_fn = jax.jit(
             train_step,
-            in_shardings=(None, repl, repl, shard, repl, repl, None),
-            out_shardings=(repl, shard, repl, repl))
+            in_shardings=(None, repl, repl, repl, shard, repl, repl, None),
+            out_shardings=(repl, repl, shard, repl, repl))
     else:
         step_fn = jax.jit(train_step)
 
@@ -200,8 +220,8 @@ def train(config_path: str, batch: int = 16, iters: int = 20,
     for i in range(iters):
         if i % target_sync == 0:
             target = params
-        params, state, key, m = step_fn(net_dev, params, target, state,
-                                        spawn, key,
-                                        max(eps * (0.95 ** i), 0.05))
+        params, opt_state, state, key, m = step_fn(
+            net_dev, params, target, opt_state, state, spawn, key,
+            max(eps * (0.95 ** i), 0.05))
         history.append({k: float(v) for k, v in m.items()})
     return history

@@ -27,7 +27,16 @@ def main():
     ap.add_argument("--config", default="tests/fixtures/config_4x4.json")
     ap.add_argument("--per-device", type=int, default=8)
     ap.add_argument("--steps", type=int, default=24)
-    ap.add_argument("--dqn-iters", type=int, default=192)
+    ap.add_argument("--dqn-iters", type=int, default=192,
+                    help="training iterations THIS invocation")
+    ap.add_argument("--dqn-total", type=int, default=None,
+                    help="planned total iterations (epsilon schedule); "
+                         "defaults to --dqn-iters")
+    ap.add_argument("--dqn-state", default=None,
+                    help="npz checkpoint: resume if it exists, save on exit "
+                         "(chunked CPU training under the 10-min call cap)")
+    ap.add_argument("--phase", choices=["all", "scaling", "dqn-train",
+                                        "dqn-eval"], default="all")
     ap.add_argument("--out", default="scaling_study.json")
     ap.add_argument("--cpu-mesh", action="store_true", default=None)
     args = ap.parse_args()
@@ -86,7 +95,7 @@ def main():
         return st, -jnp.sum(obs["lane_waiting"].astype(jnp.float32))
 
     rows = []
-    for n_dev in (1, 2, 4, 8):
+    for n_dev in ((1, 2, 4, 8) if args.phase in ("all", "scaling") else ()):
         if n_dev > len(jax.devices()):
             break
         B = args.per_device * n_dev
@@ -109,10 +118,15 @@ def main():
         rows.append(dict(devices=n_dev, batch=B,
                          env_steps_per_s=round(rate, 1)))
         print(f"n={n_dev} B={B}: {rate:.1f} env-steps/s", flush=True)
-    base = rows[0]["env_steps_per_s"] / rows[0]["devices"]
-    for r in rows:
-        r["efficiency_vs_1dev"] = round(
-            r["env_steps_per_s"] / (base * r["devices"]), 3)
+    if rows:
+        base = rows[0]["env_steps_per_s"] / rows[0]["devices"]
+        for r in rows:
+            r["efficiency_vs_1dev"] = round(
+                r["env_steps_per_s"] / (base * r["devices"]), 3)
+    if args.phase == "scaling":
+        _merge_out(args.out, args, rows, None)
+        print(json.dumps(dict(weak_scaling=rows)))
+        return
 
     # ---- DQN learner vs fixed-time: same-horizon evaluation -------------
     # The raw training reward declines as the net fills (episode
@@ -120,34 +134,77 @@ def main():
     # horizon from the same empty state: greedy DQN phases vs the tlPlan.
     from cityflow_tpu.rl import dqn as dqn_mod
     from cityflow_tpu.core import observe as obs_mod
-    print("training DQN...", flush=True)
     init_fn, train_step = dqn_mod.make_dqn_train_step(net_dev, cfg,
                                                       max_phases)
-    params = init_fn(jax.random.PRNGKey(0))
+    params, opt_state = init_fn(jax.random.PRNGKey(0))
+    treedef = jax.tree_util.tree_structure((params, opt_state))
     target = params
-    st_tr = init_batch_state(cfg, st0, 8)
     key = jax.random.PRNGKey(0)
-    step_tr = jax.jit(train_step)
-    losses, rewards_tr = [], []
+    losses, rewards_tr, snaps, snap_iters = [], [], [], []
+    it0 = 0
+    total = args.dqn_total or args.dqn_iters
     episode_len = 64                      # reset envs so the learner sees
     target_sync = 10                      # the empty->saturated transient
-    for i in range(args.dqn_iters):       # more than once
-        if i % target_sync == 0:
-            target = params
-        if i and i % episode_len == 0:
-            st_tr = init_batch_state(cfg, st0, 8)
-        params, st_tr, key, m = step_tr(net_dev, params, target, st_tr,
-                                        spawn_dev, key,
-                                        max(0.5 * (0.97 ** i), 0.05))
-        losses.append(float(m["loss"]))
-        rewards_tr.append(float(m["mean_reward"]))
+    ckpt_every = max(total // 6, 1)       # snapshots -> eval trend
+
+    if args.dqn_state and os.path.exists(args.dqn_state):
+        z = np.load(args.dqn_state)
+        flat = [z[f"t{i}"] for i in range(int(z["n_flat"]))]
+        params, opt_state = jax.tree_util.tree_unflatten(treedef, flat)
+        it0 = int(z["iter"])
+        losses = list(z["losses"])
+        rewards_tr = list(z["rewards"])
+        snap_iters = list(z["snap_iters"])
+        snaps = [dqn_mod.QParams(*(z[f"s{j}_{i}"] for i in range(4)))
+                 for j in range(len(snap_iters))]
+        print(f"resumed {args.dqn_state} at iter {it0}", flush=True)
+
+    if args.phase in ("all", "dqn-train"):
+        print("training DQN...", flush=True)
+        st_tr = init_batch_state(cfg, st0, 8)
+        step_tr = jax.jit(train_step)
+        for i in range(it0, min(it0 + args.dqn_iters, total)):
+            if i % target_sync == 0:
+                target = params
+            if i % ckpt_every == 0:
+                snaps.append(jax.device_get(params))
+                snap_iters.append(i)
+            if i and i % episode_len == 0:
+                st_tr = init_batch_state(cfg, st0, 8)
+            params, opt_state, st_tr, key, m = step_tr(
+                net_dev, params, target, opt_state, st_tr, spawn_dev, key,
+                max(0.5 * (0.98 ** i), 0.05))
+            losses.append(float(m["loss"]))
+            rewards_tr.append(float(m["mean_reward"]))
+        it0 = min(it0 + args.dqn_iters, total)
+        if args.dqn_state:
+            flat = jax.tree_util.tree_leaves(
+                jax.device_get((params, opt_state)))
+            save = {f"t{i}": a for i, a in enumerate(flat)}
+            save.update(n_flat=len(flat), iter=it0,
+                        losses=np.asarray(losses),
+                        rewards=np.asarray(rewards_tr),
+                        snap_iters=np.asarray(snap_iters))
+            for j, s in enumerate(snaps):
+                for i, a in enumerate(s):
+                    save[f"s{j}_{i}"] = np.asarray(a)
+            np.savez(args.dqn_state, **save)
+            print(f"saved {args.dqn_state} at iter {it0}", flush=True)
+        if args.phase == "dqn-train" and it0 < total:
+            print(json.dumps(dict(trained_to=it0, total=total)))
+            return
+
+    if it0 >= total or args.phase in ("all", "dqn-eval"):
+        snaps.append(jax.device_get(params))
+        snap_iters.append(it0)
 
     obs_fn = dqn_mod.build_intersection_obs(net_dev, cfg, max_phases)
     if isinstance(obs_fn, tuple):
         obs_fn = obs_fn[0]
     n_phases_dev = jnp.asarray(np.asarray(net.n_phases), jnp.int32)
 
-    def eval_policy(use_dqn, horizon):
+    def eval_policy(p, horizon):
+        use_dqn = p is not None
         cfg_e = cfg if use_dqn else StepConfig(
             interval=interval, num_lanes=net.num_lanes,
             num_drivables=net.num_lanes + net.num_links,
@@ -160,12 +217,12 @@ def main():
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(1,))
-        def one(st, act):
+        @partial(jax.jit, static_argnums=(2,))
+        def one(st, p, act):
             if use_dqn:
                 if act:
                     obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_dev, st)
-                    q = jax.vmap(lambda o: dqn_mod.q_values(params, o))(obs)
+                    q = jax.vmap(lambda o: dqn_mod.q_values(p, o))(obs)
                     mask = (jnp.arange(q.shape[-1])[None, :]
                             < jnp.maximum(n_phases_dev, 1)[:, None])
                     q = jnp.where(mask[None], q, -jnp.inf)
@@ -179,16 +236,27 @@ def main():
         tot = 0.0
         for i in range(horizon):
             # hold each greedy action for the training action interval
-            st, w = one(st, i % 5 == 0)
+            st, w = one(st, p, i % 5 == 0)
             tot += float(w)
         att = float(jnp.mean(st.cum_travel
                              / jnp.maximum(st.finished_cnt, 1)))
         return tot / horizon, att, int(jnp.sum(st.finished_cnt))
 
+    # eval trend across training snapshots: the monotone-ish curve the
+    # VERDICT asked for (waiting should fall / finished rise with training)
+    trend = []
+    for it, sp in zip(snap_iters, snaps):
+        w, att, fin = eval_policy(sp, 300)
+        trend.append(dict(iter=int(it), mean_waiting=round(w, 2),
+                          avg_travel_time=round(att, 2), finished=fin))
+        print(f"trend iter={it}: wait={w:.1f} att={att:.1f} fin={fin}",
+              flush=True)
+
     evals = []
+    final = snaps[-1]
     for H in (300, 600):
-        dqn_wait, dqn_att, dqn_fin = eval_policy(True, H)
-        ft_wait, ft_att, ft_fin = eval_policy(False, H)
+        dqn_wait, dqn_att, dqn_fin = eval_policy(final, H)
+        ft_wait, ft_att, ft_fin = eval_policy(None, H)
         evals.append(dict(
             horizon=H,
             dqn=dict(mean_waiting=round(dqn_wait, 2),
@@ -206,12 +274,15 @@ def main():
 
     half = len(losses) // 2
     dqn_part = dict(
-        iters=args.dqn_iters,
+        iters=it0,
         target_sync=target_sync, episode_len=episode_len,
+        optimizer="adam+clip5, double-DQN, huber",
+        obs="per-phase [waiting, pressure] + phase one-hot",
         loss_curve=sub(losses), reward_curve=sub(rewards_tr),
         loss_first_half_mean=round(sum(losses[:half]) / max(half, 1), 4),
         loss_second_half_mean=round(
             sum(losses[half:]) / max(len(losses) - half, 1), 4),
+        eval_trend=trend,
         evals=evals,
         # honest verdict: ALL of waiting/travel-time/finished, both horizons
         beats_fixed_time=bool(all(
@@ -220,6 +291,14 @@ def main():
         beats_on_waiting_only=bool(all(e["beats"]["waiting"]
                                        for e in evals)))
 
+    _merge_out(args.out, args, rows, dqn_part)
+    print(json.dumps(dict(weak_scaling=rows,
+                          dqn=dqn_part["beats_fixed_time"])))
+
+
+def _merge_out(out_path, args, rows, dqn_part):
+    """Write/update the report, keeping whichever section the other phase
+    produced earlier."""
     doc = dict(kind="scaling_study",
                config=args.config,
                mesh="virtual-cpu" if args.cpu_mesh is not False else "real",
@@ -227,11 +306,18 @@ def main():
                      "sharding overhead (efficiency ~1.0 / n expected on "
                      "shared cores is NOT the metric; per-device rate "
                      "stability is). Real ICI scaling uses this exact "
-                     "code path."),
-               weak_scaling=rows, dqn=dqn_part)
-    with open(args.out, "w") as f:
+                     "code path."))
+    old = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            old = {}
+    doc["weak_scaling"] = rows or old.get("weak_scaling", [])
+    doc["dqn"] = dqn_part or old.get("dqn")
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps(dict(weak_scaling=rows, dqn=dqn_part["beats_fixed_time"])))
 
 
 if __name__ == "__main__":
