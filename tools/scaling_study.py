@@ -37,6 +37,10 @@ def main():
                          "(chunked CPU training under the 10-min call cap)")
     ap.add_argument("--phase", choices=["all", "scaling", "dqn-train",
                                         "dqn-eval"], default="all")
+    ap.add_argument("--eval-part", choices=["all", "trend", "final"],
+                    default="all",
+                    help="split the eval phase across two invocations "
+                         "(snapshot trend vs final-vs-fixed-time rollouts)")
     ap.add_argument("--out", default="scaling_study.json")
     ap.add_argument("--cpu-mesh", action="store_true", default=None)
     args = ap.parse_args()
@@ -53,6 +57,8 @@ def main():
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    from cityflow_tpu.engine import _enable_compilation_cache
+    _enable_compilation_cache()   # CPU compiles take minutes; reruns must hit
     from cityflow_tpu.compiler.net import compile_scenario
     from cityflow_tpu.compiler.spawn import SpawnGenerator
     from cityflow_tpu.core.state import StepConfig, init_state
@@ -69,7 +75,7 @@ def main():
     cfgj = net.host.config
     interval = float(cfgj["interval"])
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
-    horizon = args.steps * 4 + 64
+    horizon = max(args.steps * 4 + 64, 640)   # evals roll out to 600 steps
     gen.extend(horizon)
     t = gen.arrays()
     pad = max(gen.max_per_step, 1)
@@ -157,6 +163,8 @@ def main():
         snap_iters = list(z["snap_iters"])
         snaps = [dqn_mod.QParams(*(z[f"s{j}_{i}"] for i in range(4)))
                  for j in range(len(snap_iters))]
+        if "key" in z:
+            key = jnp.asarray(z["key"])
         print(f"resumed {args.dqn_state} at iter {it0}", flush=True)
 
     if args.phase in ("all", "dqn-train"):
@@ -182,6 +190,7 @@ def main():
                 jax.device_get((params, opt_state)))
             save = {f"t{i}": a for i, a in enumerate(flat)}
             save.update(n_flat=len(flat), iter=it0,
+                        key=jax.device_get(key),
                         losses=np.asarray(losses),
                         rewards=np.asarray(rewards_tr),
                         snap_iters=np.asarray(snap_iters))
@@ -190,53 +199,66 @@ def main():
                     save[f"s{j}_{i}"] = np.asarray(a)
             np.savez(args.dqn_state, **save)
             print(f"saved {args.dqn_state} at iter {it0}", flush=True)
-        if args.phase == "dqn-train" and it0 < total:
+        if args.phase == "dqn-train":
             print(json.dumps(dict(trained_to=it0, total=total)))
             return
 
-    if it0 >= total or args.phase in ("all", "dqn-eval"):
-        snaps.append(jax.device_get(params))
-        snap_iters.append(it0)
+    snaps.append(jax.device_get(params))
+    snap_iters.append(it0)
 
     obs_fn = dqn_mod.build_intersection_obs(net_dev, cfg, max_phases)
     if isinstance(obs_fn, tuple):
         obs_fn = obs_fn[0]
     n_phases_dev = jnp.asarray(np.asarray(net.n_phases), jnp.int32)
 
+    cfg_ft = StepConfig(
+        interval=interval, num_lanes=net.num_lanes,
+        num_drivables=net.num_lanes + net.num_links,
+        max_vehicles=1024, max_spawn_per_step=gen.max_per_step,
+        k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
+        rl_traffic_light=False, exact=False)
+
+    from functools import partial
+
+    # jitted once each (re-creating them per eval forces a re-trace and a
+    # disk cache round-trip per call); net/spawn tables ride as arguments
+    @partial(jax.jit, static_argnums=(4,))
+    def one_dqn(net_a, spawn_a, st, p, act):
+        if act:
+            obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_a, st)
+            q = jax.vmap(lambda o: dqn_mod.q_values(p, o))(obs)
+            mask = (jnp.arange(q.shape[-1])[None, :]
+                    < jnp.maximum(n_phases_dev, 1)[:, None])
+            q = jnp.where(mask[None], q, -jnp.inf)
+            acts = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            st = st.replace_fields(phase=acts)
+        st2 = jax.vmap(lambda s: step_mod.step.__wrapped__(
+            net_a, cfg, s, spawn_a))(st)
+        w = jax.vmap(lambda s: obs_mod.lane_waiting_vehicle_count(
+            cfg, s).astype(jnp.float32))(st2)
+        return st2, jnp.sum(w)
+
+    @jax.jit
+    def one_ft(net_a, spawn_a, st):
+        st2 = jax.vmap(lambda s: step_mod.step.__wrapped__(
+            net_a, cfg_ft, s, spawn_a))(st)
+        w = jax.vmap(lambda s: obs_mod.lane_waiting_vehicle_count(
+            cfg_ft, s).astype(jnp.float32))(st2)
+        return st2, jnp.sum(w)
+
     def eval_policy(p, horizon):
         use_dqn = p is not None
-        cfg_e = cfg if use_dqn else StepConfig(
-            interval=interval, num_lanes=net.num_lanes,
-            num_drivables=net.num_lanes + net.num_links,
-            max_vehicles=1024, max_spawn_per_step=gen.max_per_step,
-            k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
-            rl_traffic_light=False, exact=False)
+        cfg_e = cfg if use_dqn else cfg_ft
         st = init_batch_state(cfg_e, init_state(
             cfg_e, net.num_inters, net.phase_time, net.n_phases,
             net.phase_offset), 8)
-
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=(2,))
-        def one(st, p, act):
-            if use_dqn:
-                if act:
-                    obs = jax.vmap(obs_fn, in_axes=(None, 0))(net_dev, st)
-                    q = jax.vmap(lambda o: dqn_mod.q_values(p, o))(obs)
-                    mask = (jnp.arange(q.shape[-1])[None, :]
-                            < jnp.maximum(n_phases_dev, 1)[:, None])
-                    q = jnp.where(mask[None], q, -jnp.inf)
-                    acts = jnp.argmax(q, axis=-1).astype(jnp.int32)
-                    st = st.replace_fields(phase=acts)
-            st2 = jax.vmap(lambda s: step_mod.step.__wrapped__(
-                net_dev, cfg_e, s, spawn_dev))(st)
-            w = jax.vmap(lambda s: obs_mod.lane_waiting_vehicle_count(
-                cfg_e, s).astype(jnp.float32))(st2)
-            return st2, jnp.sum(w)
         tot = 0.0
         for i in range(horizon):
             # hold each greedy action for the training action interval
-            st, w = one(st, p, i % 5 == 0)
+            if use_dqn:
+                st, w = one_dqn(net_dev, spawn_dev, st, p, i % 5 == 0)
+            else:
+                st, w = one_ft(net_dev, spawn_dev, st)
             tot += float(w)
         att = float(jnp.mean(st.cum_travel
                              / jnp.maximum(st.finished_cnt, 1)))
@@ -245,28 +267,32 @@ def main():
     # eval trend across training snapshots: the monotone-ish curve the
     # VERDICT asked for (waiting should fall / finished rise with training)
     trend = []
-    for it, sp in zip(snap_iters, snaps):
-        w, att, fin = eval_policy(sp, 300)
-        trend.append(dict(iter=int(it), mean_waiting=round(w, 2),
-                          avg_travel_time=round(att, 2), finished=fin))
-        print(f"trend iter={it}: wait={w:.1f} att={att:.1f} fin={fin}",
-              flush=True)
+    if args.eval_part in ("all", "trend"):
+        for it, sp in zip(snap_iters, snaps):
+            w, att, fin = eval_policy(sp, 300)
+            trend.append(dict(iter=int(it), mean_waiting=round(w, 2),
+                              avg_travel_time=round(att, 2), finished=fin))
+            print(f"trend iter={it}: wait={w:.1f} att={att:.1f} fin={fin}",
+                  flush=True)
 
     evals = []
-    final = snaps[-1]
-    for H in (300, 600):
-        dqn_wait, dqn_att, dqn_fin = eval_policy(final, H)
-        ft_wait, ft_att, ft_fin = eval_policy(None, H)
-        evals.append(dict(
-            horizon=H,
-            dqn=dict(mean_waiting=round(dqn_wait, 2),
-                     avg_travel_time=round(dqn_att, 2), finished=dqn_fin),
-            fixed_time=dict(mean_waiting=round(ft_wait, 2),
-                            avg_travel_time=round(ft_att, 2),
-                            finished=ft_fin),
-            beats=dict(waiting=bool(dqn_wait < ft_wait),
-                       travel_time=bool(dqn_att < ft_att),
-                       finished=bool(dqn_fin >= ft_fin))))
+    if args.eval_part in ("all", "final"):
+        final = snaps[-1]
+        for H in (300, 600):
+            dqn_wait, dqn_att, dqn_fin = eval_policy(final, H)
+            ft_wait, ft_att, ft_fin = eval_policy(None, H)
+            evals.append(dict(
+                horizon=H,
+                dqn=dict(mean_waiting=round(dqn_wait, 2),
+                         avg_travel_time=round(dqn_att, 2),
+                         finished=dqn_fin),
+                fixed_time=dict(mean_waiting=round(ft_wait, 2),
+                                avg_travel_time=round(ft_att, 2),
+                                finished=ft_fin),
+                beats=dict(waiting=bool(dqn_wait < ft_wait),
+                           travel_time=bool(dqn_att < ft_att),
+                           finished=bool(dqn_fin >= ft_fin))))
+            print(json.dumps(evals[-1]), flush=True)
 
     def sub(xs, k=12):
         stride = max(1, len(xs) // k)
@@ -281,19 +307,23 @@ def main():
         loss_curve=sub(losses), reward_curve=sub(rewards_tr),
         loss_first_half_mean=round(sum(losses[:half]) / max(half, 1), 4),
         loss_second_half_mean=round(
-            sum(losses[half:]) / max(len(losses) - half, 1), 4),
-        eval_trend=trend,
-        evals=evals,
-        # honest verdict: ALL of waiting/travel-time/finished, both horizons
-        beats_fixed_time=bool(all(
-            e["beats"]["waiting"] and e["beats"]["travel_time"]
-            and e["beats"]["finished"] for e in evals)),
-        beats_on_waiting_only=bool(all(e["beats"]["waiting"]
-                                       for e in evals)))
+            sum(losses[half:]) / max(len(losses) - half, 1), 4))
+    if trend:
+        dqn_part["eval_trend"] = trend
+    if evals:
+        dqn_part.update(
+            evals=evals,
+            # honest verdict: ALL of waiting/travel-time/finished,
+            # both horizons
+            beats_fixed_time=bool(all(
+                e["beats"]["waiting"] and e["beats"]["travel_time"]
+                and e["beats"]["finished"] for e in evals)),
+            beats_on_waiting_only=bool(all(e["beats"]["waiting"]
+                                           for e in evals)))
 
     _merge_out(args.out, args, rows, dqn_part)
     print(json.dumps(dict(weak_scaling=rows,
-                          dqn=dqn_part["beats_fixed_time"])))
+                          dqn=dqn_part.get("beats_fixed_time"))))
 
 
 def _merge_out(out_path, args, rows, dqn_part):
@@ -315,7 +345,12 @@ def _merge_out(out_path, args, rows, dqn_part):
         except (OSError, ValueError):
             old = {}
     doc["weak_scaling"] = rows or old.get("weak_scaling", [])
-    doc["dqn"] = dqn_part or old.get("dqn")
+    old_dqn = old.get("dqn") or {}
+    if dqn_part and old_dqn:
+        # trend and final eval parts run in separate invocations: union
+        doc["dqn"] = {**old_dqn, **dqn_part}
+    else:
+        doc["dqn"] = dqn_part or old_dqn or None
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
 
