@@ -157,10 +157,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--lane-slots", type=int, default=24,
-                    help="ring lane capacity (full jam capacity is ~40; 24 "
-                         "is verified overflow-free for the default "
-                         "30x30/64-step horizon)")
+    ap.add_argument("--lane-slots", type=int, default=40,
+                    help="ring lane capacity; 40 = jam capacity, the "
+                         "setting validated ring==gen-1 for 600 steps on "
+                         "16x16/30x30 (artifacts/ring_fid_*.json)")
     ap.add_argument("--max-vehicles", type=int, default=4096)
     ap.add_argument("--ref-steps-per-s", type=float, default=None)
     args = ap.parse_args()

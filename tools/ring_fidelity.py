@@ -38,7 +38,15 @@ def main():
     ap.add_argument("--strict-until", type=int, default=120)
     ap.add_argument("--check-every", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-vehicles", type=int, default=8192,
+                    help="gen-1 slot-pool capacity (30x30 spawns ~36k rows "
+                         "over 600 steps; ~2x the 16x16 running count)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--state", default=None,
+                    help="npz checkpoint: resume if present, save on exit "
+                         "(chunks a long CPU run under the 10-min call cap)")
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="steps to advance THIS invocation (with --state)")
     args = ap.parse_args()
 
     import jax
@@ -55,15 +63,40 @@ def main():
     cfg_path = args.config if os.path.isabs(args.config) \
         else os.path.join(here, args.config)
     net, cfg1, net_dev, st1, spawn_dev = _gen1_setup(
-        cfg_path, args.steps, max_vehicles=8192)
+        cfg_path, args.steps, max_vehicles=args.max_vehicles)
+    # four separately-jitted (and separately-cached) programs on big nets:
+    # a monolithic 16x16+ gen-1 step is a 10-min XLA:CPU compile, and a
+    # mid-compile kill caches nothing (identical semantics — bench.py and
+    # the Engine use the same split)
+    gen1_step = step_mod.step_split if net.num_links > 2000 else \
+        step_mod.step
     sim = ring_sim.build_sim(net, horizon=args.steps + 8,
                              sl=args.lane_slots, skc=args.skc)
     rows = []
     worst_strict = 0.0
     max_cnt_rel = 0.0
+    start = 1
+    wall_prev = 0.0
+    import jax.numpy as jnp
+    if args.state and os.path.exists(args.state):
+        z = np.load(args.state)
+        td1 = jax.tree_util.tree_structure(st1)
+        st1 = jax.tree_util.tree_unflatten(
+            td1, [jnp.asarray(z[f"a{i}"]) for i in range(int(z["na"]))])
+        tdr = jax.tree_util.tree_structure(sim.state)
+        sim.state = jax.tree_util.tree_unflatten(
+            tdr, [jnp.asarray(z[f"b{i}"]) for i in range(int(z["nb"]))])
+        start = int(z["step"]) + 1
+        rows = json.loads(str(z["rows"]))
+        worst_strict = float(z["worst_strict"])
+        max_cnt_rel = float(z["max_cnt_rel"])
+        wall_prev = float(z["wall"])
+        print(f"resumed {args.state} at step {start - 1}", flush=True)
+    stop = args.steps if args.chunk_steps is None \
+        else min(start - 1 + args.chunk_steps, args.steps)
     t0 = time.time()
-    for i in range(1, args.steps + 1):
-        st1 = step_mod.step(net_dev, cfg1, st1, spawn_dev)
+    for i in range(start, stop + 1):
+        st1 = gen1_step(net_dev, cfg1, st1, spawn_dev)
         ring_sim.step(sim)
         if i % args.check_every and i != args.strict_until:
             continue
@@ -87,7 +120,19 @@ def main():
             max_cnt_rel = max(max_cnt_rel, rel)
         rows.append(row)
         print(json.dumps(row), flush=True)
-    wall = time.time() - t0
+    wall = wall_prev + time.time() - t0
+    if args.state and stop < args.steps:
+        save = {"na": 0, "nb": 0, "step": stop, "rows": json.dumps(rows),
+                "worst_strict": worst_strict, "max_cnt_rel": max_cnt_rel,
+                "wall": wall}
+        la = jax.tree_util.tree_leaves(jax.device_get(st1))
+        lb = jax.tree_util.tree_leaves(jax.device_get(sim.state))
+        save.update({f"a{i}": a for i, a in enumerate(la)}, na=len(la))
+        save.update({f"b{i}": a for i, a in enumerate(lb)}, nb=len(lb))
+        np.savez(args.state, **save)
+        print(json.dumps({"checkpointed_at": stop, "of": args.steps,
+                          "wall_s": round(wall, 1)}))
+        return
     import jax
     c1 = jax.device_get((st1.cum_travel, st1.finished_cnt))
     c2 = jax.device_get((sim.state.cum_travel, sim.state.finished_cnt))
