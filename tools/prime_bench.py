@@ -3,7 +3,7 @@
 program per invocation if needed.
 
 Usage: python tools/prime_bench.py [p1|p2|both|mono]
-           [--config benchmarks/config_30x30.json] [--sl 24] [--batch 64]
+           [--config benchmarks/config_30x30.json] [--sl 40] [--batch 64]
 
 Mirrors bench.py run_ring() exactly (same shapes/dtypes => same cache
 keys). `mono` primes the monolithic ring_step_batched (what bench.py
@@ -25,7 +25,7 @@ def main():
     ap.add_argument("which", nargs="?", default="both",
                     choices=["p1", "p2", "both", "mono"])
     ap.add_argument("--config", default="benchmarks/config_30x30.json")
-    ap.add_argument("--sl", type=int, default=24)
+    ap.add_argument("--sl", type=int, default=40)
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     import jax
