@@ -62,16 +62,20 @@ def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg_path = args.config if os.path.isabs(args.config) \
         else os.path.join(here, args.config)
+    tb = time.time()
     net, cfg1, net_dev, st1, spawn_dev = _gen1_setup(
         cfg_path, args.steps, max_vehicles=args.max_vehicles)
+    print(f"gen1 setup {time.time() - tb:.1f}s", flush=True)
     # four separately-jitted (and separately-cached) programs on big nets:
     # a monolithic 16x16+ gen-1 step is a 10-min XLA:CPU compile, and a
     # mid-compile kill caches nothing (identical semantics — bench.py and
     # the Engine use the same split)
     gen1_step = step_mod.step_split if net.num_links > 2000 else \
         step_mod.step
+    tb = time.time()
     sim = ring_sim.build_sim(net, horizon=args.steps + 8,
                              sl=args.lane_slots, skc=args.skc)
+    print(f"ring build {time.time() - tb:.1f}s", flush=True)
     rows = []
     worst_strict = 0.0
     max_cnt_rel = 0.0
@@ -97,7 +101,11 @@ def main():
     t0 = time.time()
     for i in range(start, stop + 1):
         st1 = gen1_step(net_dev, cfg1, st1, spawn_dev)
+        if i == start:
+            print(f"gen1 first step {time.time() - t0:.1f}s", flush=True)
         ring_sim.step(sim)
+        if i == start:
+            print(f"+ring first step {time.time() - t0:.1f}s", flush=True)
         if i % args.check_every and i != args.strict_until:
             continue
         a = _fetch_gen1(st1)
