@@ -39,9 +39,11 @@ def run_ring(args, net):
     bstate = jax.tree_util.tree_map(
         lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
         if hasattr(x, "shape") else x, st0)
-    if net.num_links > 16000:
+    if net.num_links > 16000 or (sim.cfg.lane_change
+                                 and net.num_links > 4000):
         # split compilation: the monolithic 30x30 program exceeds
-        # practical XLA compile budgets on the tunneled backend; tables
+        # practical XLA compile budgets on the tunneled backend, and so
+        # does the 16x16 with lane change (~2x the program); tables
         # ride as jit arguments (constants bloat compile + cache load)
         def step_b(s):
             s, m = ring_step_p1_batched(sim.tables, sim.cfg, s, sim.q)

@@ -109,12 +109,17 @@ def build_sim(net: CompiledNet, horizon: int = 512,
 
 def step(sim: RingSim):
     import os
-    if sim.net.num_links > 16000 or os.environ.get("CITYFLOW_RING_SPLIT"):
+    if (sim.net.num_links > 16000
+            or (sim.cfg.lane_change and sim.net.num_links > 4000)
+            or os.environ.get("CITYFLOW_RING_SPLIT")):
         # split compilation: monolithic city-scale programs (30x30+)
         # schedule ~8x worse and exceed practical XLA compile budgets
-        # (docs/design.md); identical semantics by construction. The env
-        # override lets long CPU parity runs compile in two cacheable
-        # pieces (a mid-compile kill caches nothing).
+        # (docs/design.md); identical semantics by construction. Lane
+        # change roughly doubles the program, so the threshold drops
+        # (measured: monolithic 16x16 LC exceeds a 10-min XLA:CPU
+        # compile; the split halves compile in ~25s). The env override
+        # lets long CPU parity runs compile in two cacheable pieces (a
+        # mid-compile kill caches nothing).
         from cityflow_tpu.core.ring import ring_step_split
         sim.state = ring_step_split(sim.tables, sim.cfg, sim.state, sim.q)
     else:
