@@ -62,6 +62,7 @@ class RingMeta:
     entry_lanes: np.ndarray = None  # (EL,) flat ring lane pos of entry lanes
     uniform_params: bool = False    # all flow templates identical
     param_row: np.ndarray = None    # (12,) the single template if uniform
+    TP: int = 1                     # distinct vehicle templates (>=1)
     foe_via_perm: bool = True       # einsum foe exchange vs flat gather
     KOUT: int = 1                   # max out-links per in-lane
     fwd_shifts: tuple = ()          # shift plan offsets (lane -> in-lane)
@@ -575,6 +576,15 @@ def build_ring(net: CompiledNet, interval: float) -> Tuple[Dict[str, np.ndarray]
     meta_uniform = bool(len(fp) and (fp == fp[0]).all())
     meta.uniform_params = meta_uniform
     meta.param_row = fp[0].astype(np.float64) if meta_uniform else None
+    # distinct-template table for the non-uniform path: per-slot template
+    # indices ride the rings; params come back via a (..., TP) x (TP, 12)
+    # one-hot einsum (MXU) instead of per-slot gathers. Dedupe over USED
+    # flow rows only — flow_params carries zeroed headroom rows for
+    # manual push_vehicle (engine.py), which are not templates
+    uniq = np.unique(fp.astype(f32), axis=0) if len(fp) \
+        else np.zeros((1, 12), f32)
+    meta.TP = int(len(uniq))
+    tb["tpl_params"] = uniq.astype(f32)               # (TP, 12)
 
     # entry lanes: all lanes of all flow first roads (ring pos)
     els = set()

@@ -16,11 +16,16 @@ docs/design.md:
     lookup, done on a compacted set of a few hundred rows, plus one
     constant-index lane permutation per step (the in-lane view).
 
-Scope (checked at build time by compiler/ring_net.py): laneChange:false,
-uniform vehicle templates, lane lengths above the leader-scan bound —
-which covers every grid benchmark and the bundled example. Exact mode and
-the general case stay on the gen-1 path; aggregate equivalence against
-gen-1 is tested in tests/test_ring.py.
+Scope (checked at build time by compiler/ring_net.py): lane lengths above
+the leader-scan bound; lane change and non-uniform vehicle templates are
+both supported (but not yet together — that combination falls back to
+gen-1). Non-uniform templates ride as a per-slot template-index channel;
+params materialize via a one-hot einsum against tpl_params (the _PP
+provider) with the leader's maxNegAcc/usualNegAcc/len where the reference
+uses them (vehicle.cpp:160,217,229). Exact mode stays on the gen-1 path;
+equivalence against gen-1 is tested in tests/test_ring.py (incl.
+config_2x2_mixed — 3 templates — whose gen-1 run is itself bit-exact vs
+the unmodified reference, tests/test_golden_grids.py).
 
 Integer channels routed through f32 exchanges: priorities are carried as
 (hi, lo) 16-bit halves (exact in f32; reference compares them as signed
@@ -64,6 +69,8 @@ class RingConfig:
                               # intersection per step (overflow-flagged)
     type_ranges: Tuple[Tuple[int, int], ...] = ()
     params: Tuple[float, ...] = ()
+    uniform: bool = True      # all templates identical: params are scalars
+    TP: int = 1               # distinct templates (tpl_params table rows)
     rl_traffic_light: bool = False
     k_phase: int = 8
     k_cyc: int = 4
@@ -97,7 +104,7 @@ class RingConfig:
                       "k_entll", "k_enter", "k_pri", "k_uid", "k_nxtl",
                       "k_custom", "k_hascustom",
                       "l_off", "l_sh", "l_chg", "l_dir", "l_gap", "l_yv",
-                      "l_rnrow", "l_auxrow", "k_gap"],
+                      "l_rnrow", "l_auxrow", "k_gap", "l_tpl", "k_tpl"],
          meta_fields=[])
 @dataclass
 class RingState:
@@ -127,6 +134,9 @@ class RingState:
     l_rnrow: Any = None       # (MAXLPR, SL, LNp) route-next row bundle
     l_auxrow: Any = None      # (MAXLPR, SL, LNp) two-hop aux row bundle
     k_gap: Any = None         # link-side gap channel (staleness carrier)
+    # template channels (None when cfg.uniform — zero cost)
+    l_tpl: Any = None         # (SL, LNp) i32 template index
+    k_tpl: Any = None         # (SK, LKp) i32 template index
 
     def replace_fields(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -155,6 +165,8 @@ def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
             l_rnrow=jnp.full((cfg.MAXLPR, SL, LNp), -1, jnp.int32),
             l_auxrow=jnp.full((cfg.MAXLPR, SL, LNp), -1, jnp.int32),
             k_gap=zk())
+    if not cfg.uniform:
+        lc = dict(lc, l_tpl=il_(0), k_tpl=ik(0))
     return RingState(
         step=jnp.int32(0), finished_cnt=jnp.int32(0), cum_travel=f(0),
         overflow=jnp.int32(0),
@@ -201,6 +213,36 @@ def _from_hilo(h, l):
 
 def _pri_gt(ah, al, bh, bl):
     return (ah > bh) | ((ah == bh) & (al > bl))
+
+
+class _PP:
+    """Param provider. Uniform: scalars from cfg.params (the compiled
+    program is identical to the pre-template one). Non-uniform: per-slot
+    f32 arrays materialized from a template-index array via one one-hot
+    einsum against tpl_params (TP, 12) — MXU work, no per-slot gathers.
+    Reference semantics: every vehicle carries its flow template
+    (VehicleInfo, vehicle.h:31-45); formulas mix SELF params with the
+    LEADER's maxNegAcc/usualNegAcc/len (vehicle.cpp:217,229,160) — build
+    one _PP per role from the matching tpl array."""
+
+    def __init__(self, cfg, net, tpl=None):
+        self.cfg = cfg
+        if cfg.uniform:
+            self.P = None
+        else:
+            f = jnp.float32
+            oh = (tpl[..., None] == jnp.arange(cfg.TP, dtype=jnp.int32)) \
+                .astype(f)
+            self.P = jnp.einsum("...t,tp->...p", oh, net["tpl_params"],
+                                precision=HI)
+
+    def __getitem__(self, i):
+        if self.cfg.uniform:
+            # raw python float: keeps the uniform program bit-identical
+            # to the pre-template one (scalar constants fold at trace
+            # time exactly as before; the goldens pin this)
+            return self.cfg.params[i]
+        return self.P[..., i]
 
 
 def _shifted_exchange(rows, n_out, shifts, gid, res_j, res_src):
@@ -335,9 +377,15 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     G, LPI, KC, IL, OL, AP = cfg.G, cfg.LPI, cfg.KC, cfg.IL, cfg.OL, cfg.AP
     ov = rs.overflow
 
+    # scalar params: the uniform path's constants (bit-pinned by the
+    # goldens). On the non-uniform path these are NaN-poisoned
+    # (ring_sim.build_sim) — every use below is either guarded by
+    # cfg.uniform / cfg.lane_change (LC forces uniform) or replaced by a
+    # _PP per-slot provider, so a missed site fails loudly.
     (p_speed0, p_len, p_width, p_maxpos, p_maxneg, p_upa, p_una,
      p_mingap, p_maxspd, p_headway, p_yield, p_turnspd) = cfg.params
     approach = p_maxspd * p_maxspd / p_una / 2 + p_maxspd * cfg.interval * 2
+    tpp = net["tpl_params"] if not cfg.uniform else None
 
     # =====================================================================
     # 1. spawn + admission (Flow::nextStep + Engine::handleWaiting,
@@ -362,8 +410,15 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     n_e = jnp.take(rs.n_l, el_lane)
     tail_flat = jnp.clip(n_e - 1, 0) * LNp + el_lane
     t_dis = jnp.take(rs.l_dis.reshape(-1), tail_flat)
-    # Lane::available (roadnet.cpp:428-436)
-    avail_e = (n_e == 0) | (t_dis > p_len + p_mingap)
+    # Lane::available (roadnet.cpp:428-436): tail dis > tail len +
+    # INCOMING vehicle's minGap (gen-1 step.py head_mingap/tla sourcing)
+    if cfg.uniform:
+        avail_e = (n_e == 0) | (t_dis > p_len + p_mingap)
+    else:
+        t_tpl_e = jnp.take(rs.l_tpl.reshape(-1), tail_flat)
+        t_len_e = jnp.take(tpp[:, P_LEN], t_tpl_e)
+        q_mingap = jnp.take(tpp[:, P_MINGAP], row["tpl"])
+        avail_e = (n_e == 0) | (t_dis > t_len_e + q_mingap)
     admit = has_row & avail_e & (n_e < SL)
     ov = ov | jnp.where(jnp.any(has_row & avail_e & (n_e >= SL)),
                         OV_SLOTS, 0).astype(jnp.int32)
@@ -456,9 +511,18 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
                 [jnp.where(place, ax_rows[c][None, :].astype(jnp.int32),
                            rs.l_auxrow[c]) for c in range(cfg.MAXLPR)],
                 axis=0))
+    tpl_adm = {}
+    if not cfg.uniform:
+        # spawn speed = the template's startSpeed; template index rides
+        # the ring like flow/route (VehicleInfo copy at Flow::nextStep)
+        q_speed0 = jnp.take(tpp[:, P_SPEED], row["tpl"])
+        tpl_adm = dict(
+            l_speed=put(rs.l_speed, spread(q_speed0)),
+            l_tpl=put(rs.l_tpl, spread(row["tpl"])))
     rs = rs.replace_fields(
         l_dis=putc(rs.l_dis, 0.0),
-        l_speed=putc(rs.l_speed, p_speed0),
+        l_speed=(tpl_adm.pop("l_speed") if tpl_adm
+                 else putc(rs.l_speed, p_speed0)),
         l_flow=put(rs.l_flow, vals[0]),
         l_route=put(rs.l_route, vals[1]),
         l_rpos=putc(rs.l_rpos, 0),
@@ -475,7 +539,7 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         l_hascustom=putc(rs.l_hascustom, False),
         n_l=rs.n_l + adm_lane.astype(jnp.int32),
         el_cursor=rs.el_cursor + admit.astype(jnp.int32),
-        **lc_adm)
+        **lc_adm, **tpl_adm)
 
     # ---- lane change: signals, arbitration, shadow insertion ------------
     # (initSegments + planLaneChange + scheduleLaneChange,
@@ -502,12 +566,14 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     tl_speed = _sel_slot(oh_tail, rs.l_speed)
     tl_prih, tl_pril = _hilo(_sel_slot(oh_tail, rs.l_pri))
     tl_exists = rs.n_l > 0
+    tl_tpl = _sel_slot(oh_tail, rs.l_tpl) if not cfg.uniform else None
 
     # link ring tail (overlap-rule leader candidates)
     oh_ktail = sk_idx == (rs.n_k - 1)[None, :]
     kt_dis = _sel_slot(oh_ktail, rs.k_dis)
     kt_speed = _sel_slot(oh_ktail, rs.k_speed)
     kt_exists = rs.n_k > 0
+    kt_tpl = _sel_slot(oh_ktail, rs.k_tpl) if not cfg.uniform else None
 
     # forward exchange: lane-front bundles -> (AP, IL, G) in-lane view.
     # One constant-index row gather per step (the global lane permutation).
@@ -524,6 +590,10 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         # yieldSpeed for the link-domain front min-chain
         fch.append(rs.l_gap[:AP])
         fch.append(rs.l_yv[:AP])
+    if not cfg.uniform:
+        # template index (channel 14 — LC and non-uniform are mutually
+        # exclusive, ring_sim.build_sim): small ints, exact in f32
+        fch.append(rs.l_tpl[:AP].astype(f))
     NFC = len(fch)
     fwd = jnp.concatenate(
         [jnp.stack(fch, axis=0).reshape(NFC * AP, LNp),
@@ -561,6 +631,7 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
     h_custom = ap_ch(11); h_hascustom = ap_ch(12) > 0
     h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
+    h_tpl = ap_ch(14).astype(jnp.int32) if not cfg.uniform else None
     il_len = inl[NFC * AP]
     il_maxspd = inl[NFC * AP + 1]
 
@@ -592,6 +663,10 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     end_tail_prih = Eend(ol_view(tl_prih))
     end_tail_pril = Eend(ol_view(tl_pril))
     end_tail_exists = Eend(ol_view(tl_exists.astype(f))) > 0.5
+    if not cfg.uniform:
+        end_tail_tpl = Eend(ol_view(tl_tpl.astype(f))).astype(jnp.int32)
+        et_pp = _PP(cfg, net, end_tail_tpl)       # end-lane tail's params
+        end_tail_len = et_pp[P_LEN]
 
     st_head_dis = Estart(h_dis[0])
     st_head_nxt = Estart(h_nxt[0].astype(f)).astype(jnp.int32)
@@ -600,6 +675,8 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     st_head_pril = Estart(h_pril[0])
     st_head_occ = Estart(h_occ[0].astype(f)) > 0.5
     st_len = Estart(il_len)
+    st_head_tpl = Estart(h_tpl[0].astype(f)).astype(jnp.int32) \
+        if not cfg.uniform else None
 
     # ---- notify winners (Engine::threadNotifyCross, engine.cpp:317-372;
     #      gen-1 notify_cross candidate chain) ----------------------------
@@ -611,17 +688,22 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     kpri3 = rs.k_pri.reshape(SK, LPI, G)
     occ_k3 = occ_k.reshape(SK, LPI, G)
     n_k3 = rs.n_k.reshape(LPI, G)
+    if not cfg.uniform:
+        k_tpl3 = rs.k_tpl.reshape(SK, LPI, G)
+        pp_k = _PP(cfg, net, k_tpl3)              # link-row self params
+        k_len3 = pp_k[P_LEN]
 
     # candidates = occupied slots whose tail has not cleared the cross;
     # tails decrease along the ring, so the winner is slot `cnt` (the count
     # of slots still past the cross) — one fused broadcast-reduce
-    cnt = jnp.sum(occ_k3[:, None] & ((kdis3 - p_len)[:, None] > d[None]),
+    tail_off = p_len if cfg.uniform else k_len3   # each vehicle's OWN len
+    cnt = jnp.sum(occ_k3[:, None] & ((kdis3 - tail_off)[:, None] > d[None]),
                   axis=0).astype(jnp.int32)
     ring_hit = cnt < n_k3[None]
 
     e_ok = end_tail_exists & (end_tail_prev == lk_id)
     p_e = lk_len + end_tail_dis
-    t_e = p_e - p_len
+    t_e = p_e - (p_len if cfg.uniform else end_tail_len)
     e_elig = e_ok[None] & (t_e[None] < d)
     s_ok = st_head_occ & (st_head_nxt == lk_id) & avail_lk
     p_s = st_head_dis - st_len
@@ -652,10 +734,26 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     exists = e_elig | ring_hit | use_start
 
     ndist = d - w_p
-    n_yield = can_yield(w_speed, f(p_maxneg), f(p_yield), f(p_len), ndist)
-    n_target = jnp.where(lk_turn[None], f(p_turnspd), f(p_maxspd))
-    n_reach = reach_steps(w_speed, ndist, n_target, f(p_upa), dt)
-    n_cleared = ndist + p_len < 0
+    if cfg.uniform:
+        n_yield = can_yield(w_speed, f(p_maxneg), f(p_yield), f(p_len),
+                            ndist)
+        n_target = jnp.where(lk_turn[None], f(p_turnspd), f(p_maxspd))
+        n_reach = reach_steps(w_speed, ndist, n_target, f(p_upa), dt)
+        n_cleared = ndist + p_len < 0
+    else:
+        # the notifying vehicle's OWN params (Cross::notify stores the
+        # notifier; canPass reads its reach/yield — roadnet.cpp:595-660)
+        w_tpl = wsel(k_tpl3.astype(f)).astype(jnp.int32)
+        w_tpl = jnp.where(use_start, st_head_tpl[None], w_tpl)
+        w_tpl = jnp.where(e_elig, end_tail_tpl[None], w_tpl)
+        pp_w = _PP(cfg, net, w_tpl)
+        n_yield = can_yield(w_speed, pp_w[P_MAXNEGACC], pp_w[P_YIELD],
+                            pp_w[P_LEN], ndist)
+        n_target = jnp.where(lk_turn[None], pp_w[P_TURNSPEED],
+                             pp_w[P_MAXSPEED])
+        n_reach = reach_steps(w_speed, ndist, n_target,
+                              pp_w[P_USUALPOSACC], dt)
+        n_cleared = ndist + pp_w[P_LEN] < 0
 
     # blocker-cycle flag, link granularity (fast-mode stand-in for
     # Cross::canPass Floyd cycle detection, roadnet.cpp:662-674; blocker
@@ -714,21 +812,32 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     foelpi = net["lk_foelpi"].reshape(KC, LPI, G)
 
 
-    def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant):
+    def cross_caps(dls, speed, my_ent_f, my_ph, my_plo, relevant, pp=None):
         """Batched over a leading row axis: inputs (R, LPI, G), outputs
         (R, LPI, G); intermediates (R, KC, LPI, G) stay inside one fused
-        loop (per-row calls emitted R separate fusion chains)."""
+        loop (per-row calls emitted R separate fusion chains).
+        pp: subject params — None/uniform keeps the scalar constants."""
         d1 = d[None] - dls[:, None]                     # (R, KC, LPI, G)
-        self_yield = can_yield(speed[:, None], f(p_maxneg), f(p_yield),
-                               f(p_len), d1)
-        self_target = jnp.where(lk_turn, f(p_turnspd), f(p_maxspd))
+        if cfg.uniform:
+            self_yield = can_yield(speed[:, None], f(p_maxneg), f(p_yield),
+                                   f(p_len), d1)
+            self_target4 = jnp.where(lk_turn, f(p_turnspd),
+                                     f(p_maxspd))[None, None]
+            self_upa = f(p_upa)
+        else:
+            self_yield = can_yield(
+                speed[:, None], pp[P_MAXNEGACC][:, None],
+                pp[P_YIELD][:, None], pp[P_LEN][:, None], d1)
+            self_target4 = jnp.where(lk_turn[None], pp[P_TURNSPEED],
+                                     pp[P_MAXSPEED])[:, None]
+            self_upa = pp[P_USUALPOSACC][:, None]
         # both sides saturate at 255 (the foe channel crosses the bf16
         # exchange): beyond that the reference would still compare exact
         # ints, but "both >= 255 steps away" ties fall through to the
         # enter-time rule, which is the right behavior anyway
         sr = jnp.minimum(reach_steps(speed[:, None], d1,
-                                     self_target[None, None],
-                                     f(p_upa), dt), 255)
+                                     self_target4,
+                                     self_upa, dt), 255)
         fr = foe_reach[None]
         # final tie-break: vehicle priority (roadnet.cpp:652). Symmetric
         # grids hit exact (reach, enterTime, distance) triple ties
@@ -766,66 +875,98 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         return any_fail, ff_d, ff_foe
 
     def isr_speed(dls, speed, lane_left, any_fail, ff_d, is_approach,
-                  next_avail, can_enter):
-        """getIntersectionRelatedSpeed (vehicle.cpp:337-376; gen-1)."""
-        v_isr = jnp.full_like(speed, f(p_maxspd))
+                  next_avail, can_enter, pp=None):
+        """getIntersectionRelatedSpeed (vehicle.cpp:337-376; gen-1).
+        pp: subject params — None/uniform keeps the scalar constants."""
+        if cfg.uniform:
+            s_maxspd, s_turn = f(p_maxspd), f(p_turnspd)
+            s_upa, s_una = f(p_upa), f(p_una)
+            s_yield, s_maxneg = f(p_yield), f(p_maxneg)
+        else:
+            s_maxspd, s_turn = pp[P_MAXSPEED], pp[P_TURNSPEED]
+            s_upa, s_una = pp[P_USUALPOSACC], pp[P_USUALNEGACC]
+            s_yield, s_maxneg = pp[P_YIELD], pp[P_MAXNEGACC]
+        if cfg.uniform:
+            v_isr = jnp.full_like(speed, s_maxspd)
+        else:
+            v_isr = jnp.broadcast_to(s_maxspd, speed.shape)
         if isinstance(is_approach, bool):
             app_mask = jnp.full_like(speed, is_approach, dtype=bool)
         else:
             app_mask = is_approach
         v_isr = jnp.where(app_mask & lk_turn,
-                          jnp.minimum(v_isr, f(p_turnspd)), v_isr)
-        v_stop = stop_before_speed(speed, f(p_upa), f(p_una),
-                                   ff_d - dls - f(p_yield), dt)
+                          jnp.minimum(v_isr, s_turn), v_isr)
+        v_stop = stop_before_speed(speed, s_upa, s_una,
+                                   ff_d - dls - s_yield, dt)
         v_isr = jnp.where(any_fail, jnp.minimum(v_isr, v_stop), v_isr)
         red = app_mask & (~next_avail | ~can_enter)
-        min_brake = 0.5 * speed * speed / f(p_maxneg)
+        min_brake = 0.5 * speed * speed / s_maxneg
         red_stop = red & ~(min_brake > lane_left)
-        v_red = jnp.minimum(f(p_maxspd), stop_before_speed(
-            speed, f(p_upa), f(p_una), lane_left, dt))
+        v_red = jnp.minimum(s_maxspd, stop_before_speed(
+            speed, s_upa, s_una, lane_left, dt))
         return jnp.where(red_stop, v_red, v_isr), red_stop
 
-    # Lane::canEnter of the link's end lane (roadnet.cpp:438-445; gen-1)
-    can_enter_k = (~end_tail_exists
-                   | (end_tail_dis > p_len + p_len)
-                   | (end_tail_speed >= 2))
+    # Lane::canEnter of the link's end lane (roadnet.cpp:438-445; gen-1
+    # step.py:662-664: tail dis > tail len + SUBJECT len, or tail moving)
+    if cfg.uniform:
+        can_enter_k = (~end_tail_exists
+                       | (end_tail_dis > p_len + p_len)
+                       | (end_tail_speed >= 2))
+    else:
+        def can_enter_of(own_len):     # own_len broadcasts over (LPI, G)
+            return (~end_tail_exists
+                    | (end_tail_dis > end_tail_len + own_len)
+                    | (end_tail_speed >= 2))
 
     def min_chain(speed, gap, lead_spd, has_lead, v_isr, isr_rel, custom,
                   has_custom, drv_maxspd, invalid, lane_left,
-                  v_yield=None, raw=False):
+                  v_yield=None, raw=False, pp=None, lead_pp=None):
         """Vehicle::getNextSpeed min-rule (vehicle.cpp:308-335; gen-1).
 
         v_yield: lane-change yieldSpeed term (100 = no-op), applied after
         the intersection term like gen-1 (step.py min-chain order).
         raw=True returns the clamped speed BEFORE the negative-speed
         kinematics split (engine.cpp:212-219 runs after the cross-partner
-        min in vehicleControl) — used by the lane-change lockstep path."""
-        v_hard = no_collision_speed(lead_spd, f(p_maxneg), speed,
-                                    f(p_maxneg), gap, dt, f(0))
+        min in vehicleControl) — used by the lane-change lockstep path.
+        pp/lead_pp: SELF / LEADER params — the no-collision terms use the
+        leader's maxNegAcc/usualNegAcc (vehicle.cpp:217,229; gen-1
+        step.py:636-640), everything else self."""
+        if cfg.uniform:
+            s_maxneg, s_una = f(p_maxneg), f(p_una)
+            s_mingap, s_headway = f(p_mingap), p_headway
+            s_maxspd, s_maxpos = f(p_maxspd), f(p_maxpos)
+            l_maxneg, l_una = f(p_maxneg), f(p_una)
+        else:
+            s_maxneg, s_una = pp[P_MAXNEGACC], pp[P_USUALNEGACC]
+            s_mingap, s_headway = pp[P_MINGAP], pp[P_HEADWAY]
+            s_maxspd, s_maxpos = pp[P_MAXSPEED], pp[P_MAXPOSACC]
+            l_maxneg, l_una = lead_pp[P_MAXNEGACC], lead_pp[P_USUALNEGACC]
+        v_hard = no_collision_speed(lead_spd, l_maxneg, speed,
+                                    s_maxneg, gap, dt, f(0))
         assume_decel = jnp.where(speed > lead_spd, speed - lead_spd, f(0))
-        v_soft = no_collision_speed(lead_spd, f(p_una), speed, f(p_una),
-                                    gap, dt, f(p_mingap))
+        v_soft = no_collision_speed(lead_spd, l_una, speed, s_una,
+                                    gap, dt, s_mingap)
         v_headway = ((gap + (lead_spd + assume_decel / 2) * dt
-                      - speed * dt / 2) / (p_headway + dt / 2))
+                      - speed * dt / 2) / (s_headway + dt / 2))
         v_plain = jnp.minimum(jnp.minimum(v_hard, v_soft), v_headway)
         v_cust = jnp.minimum(custom, v_hard)
         v_lead = jnp.where(has_custom, v_cust, v_plain)
-        v_nolead = jnp.where(has_custom, custom, f(p_maxspd))
+        v_nolead = jnp.where(has_custom, custom, s_maxspd)
         v_cf = jnp.where(has_lead, v_lead, v_nolead)
-        v = jnp.minimum(f(p_maxspd), speed + f(p_maxpos) * dt)
+        v = jnp.minimum(s_maxspd, speed + s_maxpos * dt)
         v = jnp.minimum(v, drv_maxspd)
         v = jnp.minimum(v, v_cf)
         v = jnp.where(isr_rel, jnp.minimum(v, v_isr), v)
         if v_yield is not None:
             v = jnp.minimum(v, v_yield)
-        v_inv = no_collision_speed(f(0), f(1), speed, f(p_maxneg),
-                                   lane_left, dt, f(p_mingap))
+        v_inv = no_collision_speed(f(0), f(1), speed, s_maxneg,
+                                   lane_left, dt, s_mingap)
         v = jnp.where(invalid, jnp.minimum(v, v_inv), v)
-        v = jnp.maximum(v, speed - f(p_maxneg) * dt)
+        v = jnp.maximum(v, speed - s_maxneg * dt)
         if raw:
             return v
         neg = v < 0
-        delta = jnp.where(neg, 0.5 * speed * speed / f(p_maxneg),
+        delta = jnp.where(neg, 0.5 * speed * speed / s_maxneg,
                           (speed + v) * dt / 2)
         return jnp.where(neg, f(0), v), delta
 
@@ -836,9 +977,23 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         [jnp.zeros((1, LKp), f), rs.k_speed[:-1]], axis=0)
     has_lead_k = jnp.concatenate(
         [jnp.zeros((1, LKp), bool), occ_k[:-1]], axis=0)
-    gap_k = (lead_dis_k - p_len - rs.k_dis).reshape(SK, LPI, G)
+    if cfg.uniform:
+        lead_len_k3 = p_len
+        lead_pp_k = None
+        ce_k = can_enter_k
+    else:
+        # leader's len/maxNegAcc/usualNegAcc: shift the tpl channel the
+        # same way dis/speed shift; slot 0's leader is the end-lane tail
+        lead_tpl_k = jnp.concatenate(
+            [jnp.zeros((1, LKp), jnp.int32), rs.k_tpl[:-1]], axis=0) \
+            .reshape(SK, LPI, G).at[0].set(end_tail_tpl)
+        lead_pp_k = _PP(cfg, net, lead_tpl_k)
+        lead_len_k3 = lead_pp_k[P_LEN].reshape(SK, LKp)
+        ce_k = can_enter_of(k_len3)
+    gap_k = (lead_dis_k - lead_len_k3 - rs.k_dis).reshape(SK, LPI, G)
     # front: leader = end-lane tail (gen-1 leader_scan from a lanelink)
-    fr_gap = (lk_len - kdis3[0]) + end_tail_dis - p_len
+    fr_gap = (lk_len - kdis3[0]) + end_tail_dis \
+        - (p_len if cfg.uniform else end_tail_len)
     gap_k = gap_k.at[0].set(jnp.where(end_tail_exists, fr_gap, gap_k[0]))
     lead_spd_k3 = lead_spd_k.reshape(SK, LPI, G)
     lead_spd_k3 = lead_spd_k3.at[0].set(end_tail_speed)
@@ -846,9 +1001,10 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     has_lead_k3 = has_lead_k3.at[0].set(end_tail_exists)
 
     R = min(cfg.SKC, SK)
+    pp_kR = None if cfg.uniform else _PP(cfg, net, k_tpl3[:R])
     af_r, fd_r, ffo_r = cross_caps(
         kdis3[:R], kspd3[:R], jnp.minimum(kent3[:R], 1 << 25).astype(f),
-        kprih[:R], kpril[:R], occ_k3[:R])
+        kprih[:R], kpril[:R], occ_k3[:R], pp=pp_kR)
     if SK > R:
         padz = lambda x, fill: jnp.concatenate(
             [x, jnp.full((SK - R, LPI, G), fill, x.dtype)], axis=0)
@@ -859,14 +1015,16 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         k_fail_all, k_ffd_all, k_fffoe_all = af_r, fd_r, ffo_r
     v_isr_k, _ = isr_speed(kdis3, kspd3, jnp.zeros((SK, LPI, G), f),
                            k_fail_all, k_ffd_all, False, avail_lk,
-                           can_enter_k)
+                           ce_k, pp=None if cfg.uniform else pp_k)
     ns_k3, dd_k = min_chain(
         kspd3, gap_k, lead_spd_k3, has_lead_k3, v_isr_k,
         jnp.ones((SK, LPI, G), bool),
         rs.k_custom.reshape(SK, LPI, G),
         rs.k_hascustom.reshape(SK, LPI, G),
         f(10000.0),                  # LaneLink maxSpeed, roadnet.h:456
-        jnp.zeros((SK, LPI, G), bool), jnp.zeros((SK, LPI, G), f))
+        jnp.zeros((SK, LPI, G), bool), jnp.zeros((SK, LPI, G), f),
+        pp=None if cfg.uniform else pp_k,
+        lead_pp=lead_pp_k)
     nd_k3 = kdis3 + dd_k
 
     # --- approach rows: lane fronts computed per-link then selected back
@@ -889,22 +1047,37 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
                           jnp.stack([y.astype(f) for y in ys]), precision=HI)
 
     # leader candidates for lane heads: ring tails of all out-links
-    # (Lane::laneLinks order, strict-min on dis-len; gen-1 leader_scan
-    # fast path), else own link's end-lane tail.
-    ktail_val = kt_dis - p_len
-    oc = _typed_mm(cfg, net["E_out"], jnp.stack(
-        [ktail_val.reshape(LPI, G), kt_exists.astype(f).reshape(LPI, G),
-         kt_speed.reshape(LPI, G)], axis=0))
-    oc = oc.reshape(3, IL, cfg.KOUT, G)
+    # (Lane::laneLinks order, strict-min on dis-len = the leader-scan
+    # nearest-rear-end rule, vehicle.cpp:170-180; gen-1 leader_scan fast
+    # path), else own link's end-lane tail. Non-uniform: each candidate
+    # subtracts ITS OWN len, and the winner's template rides along for
+    # the no-collision leader params.
+    if cfg.uniform:
+        ktail_val = kt_dis - p_len
+        oc_ch = [ktail_val.reshape(LPI, G),
+                 kt_exists.astype(f).reshape(LPI, G),
+                 kt_speed.reshape(LPI, G)]
+    else:
+        kt_len = jnp.take(tpp[:, P_LEN], kt_tpl)
+        ktail_val = kt_dis - kt_len
+        oc_ch = [ktail_val.reshape(LPI, G),
+                 kt_exists.astype(f).reshape(LPI, G),
+                 kt_speed.reshape(LPI, G),
+                 kt_tpl.astype(f).reshape(LPI, G)]
+    oc = _typed_mm(cfg, net["E_out"], jnp.stack(oc_ch, axis=0))
+    oc = oc.reshape(len(oc_ch), IL, cfg.KOUT, G)
     oc_valid = net["out_valid_g"] > 0                   # (IL, KOUT, G)
     best_val = jnp.zeros((IL, G), f)
     best_spd = jnp.zeros((IL, G), f)
     best_ex = jnp.zeros((IL, G), bool)
+    best_tpl = jnp.zeros((IL, G), f)
     for k in range(cfg.KOUT):
         cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
         better = cand_ex & (~best_ex | (oc[0, :, k] < best_val))
         best_val = jnp.where(better, oc[0, :, k], best_val)
         best_spd = jnp.where(better, oc[2, :, k], best_spd)
+        if not cfg.uniform:
+            best_tpl = jnp.where(better, oc[3, :, k], best_tpl)
         best_ex = best_ex | cand_ex
 
     # route each lane-front slot to its chosen link (one-hot over LPI),
@@ -912,35 +1085,62 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     ohls = [oh_lpi(h_nxt[a]) for a in range(AP)]
     mine_ilgs = [h_occ[a] & (h_nxt[a] >= 0) for a in range(AP)]
 
-    lk_ch = [to_link(ohls[a], [mine_ilgs[a], h_dis[a], h_speed[a],
-                               h_prih[a], h_pril[a]]) for a in range(AP)]
+    ap_hch = [[mine_ilgs[a], h_dis[a], h_speed[a], h_prih[a], h_pril[a]]
+              for a in range(AP)]
+    if not cfg.uniform:
+        for a in range(AP):
+            ap_hch[a].append(h_tpl[a].astype(f))
+    lk_ch = [to_link(ohls[a], ap_hch[a]) for a in range(AP)]
     mine_lk = jnp.stack([c[0] for c in lk_ch]) > 0.5      # (AP, LPI, G)
     dis_lk = jnp.stack([c[1] for c in lk_ch])
     spd_lk = jnp.stack([c[2] for c in lk_ch])
     prih_lk = jnp.stack([c[3] for c in lk_ch])
     pril_lk = jnp.stack([c[4] for c in lk_ch])
+    if cfg.uniform:
+        pp_ap = None
+        approach_ap = approach
+        ce_ap = can_enter_k
+    else:
+        tpl_ap = jnp.stack([c[5] for c in lk_ch]).astype(jnp.int32)
+        pp_ap = _PP(cfg, net, tpl_ap)                     # (AP, LPI, G)
+        ms_ap = pp_ap[P_MAXSPEED]
+        approach_ap = (ms_ap * ms_ap / pp_ap[P_USUALNEGACC] / 2
+                       + ms_ap * dt * 2)
+        ce_ap = can_enter_of(pp_ap[P_LEN])
     dls_ap = dis_lk - st_len[None]
     lane_left_lk = st_len[None] - dis_lk
     af_ap, fd_ap, ffo_ap = cross_caps(
         dls_ap, spd_lk, jnp.full((AP, LPI, G), f(ENT_BIG)),
-        prih_lk, pril_lk, mine_lk)
+        prih_lk, pril_lk, mine_lk, pp=pp_ap)
     v_isr_ap, red_ap = isr_speed(dls_ap, spd_lk, lane_left_lk, af_ap,
-                                 fd_ap, True, avail_lk, can_enter_k)
-    isr_rel_ap = mine_lk & (lane_left_lk <= approach)
+                                 fd_ap, True, avail_lk, ce_ap, pp=pp_ap)
+    isr_rel_ap = mine_lk & (lane_left_lk <= approach_ap)
 
     ap_out = []          # per a: (speed, dis, relevant, fail, ffoe, red)
     for a in range(AP):
         ohl = ohls[a]
         mine_ilg = mine_ilgs[a]
+        lead_pp_a = None
         # back to the lane side (one stacked einsum)
         if a == 0:
-            bk = from_link(ohl, [v_isr_ap[a], isr_rel_ap[a], end_tail_dis,
-                                 end_tail_exists, end_tail_speed, lk_len])
+            bk_ch = [v_isr_ap[a], isr_rel_ap[a], end_tail_dis,
+                     end_tail_exists, end_tail_speed, lk_len]
+            if not cfg.uniform:
+                bk_ch.append(end_tail_tpl.astype(f))
+            bk = from_link(ohl, bk_ch)
             v_isr_a, isr_rel_a = bk[0], bk[1] > 0.5
             etd, ete, ets, nlen = bk[2], bk[3] > 0.5, bk[4], bk[5]
             lane_left_a = il_len - h_dis[0]
             gap1 = lane_left_a + best_val
-            gap2 = lane_left_a + nlen + etd - p_len
+            if cfg.uniform:
+                gap2 = lane_left_a + nlen + etd - p_len
+            else:
+                # hop-2 leader = the next link's end-lane tail: its len
+                et_tpl_a = bk[6].astype(jnp.int32)
+                gap2 = lane_left_a + nlen + etd \
+                    - jnp.take(tpp[:, P_LEN], et_tpl_a)
+                lead_pp_a = _PP(cfg, net, jnp.where(
+                    best_ex, best_tpl.astype(jnp.int32), et_tpl_a))
             has_lead = best_ex | ete
             glap = jnp.where(best_ex, gap1, gap2)
             lead_spd = jnp.where(best_ex, best_spd, ets)
@@ -948,22 +1148,30 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
             bk = from_link(ohl, [v_isr_ap[a], isr_rel_ap[a]])
             v_isr_a, isr_rel_a = bk[0], bk[1] > 0.5
             has_lead = h_occ[a - 1]
-            glap = h_dis[a - 1] - p_len - h_dis[a]
+            if cfg.uniform:
+                glap = h_dis[a - 1] - p_len - h_dis[a]
+            else:
+                glap = h_dis[a - 1] \
+                    - jnp.take(tpp[:, P_LEN], h_tpl[a - 1]) - h_dis[a]
+                lead_pp_a = _PP(cfg, net, h_tpl[a - 1])
             lead_spd = h_speed[a - 1]
         mc_args = (h_speed[a], glap, lead_spd, has_lead,
                    v_isr_a, isr_rel_a, h_custom[a], h_hascustom[a],
                    il_maxspd, jnp.zeros((IL, G), bool),
                    il_len - h_dis[a])
+        mc_kw = {} if cfg.uniform else dict(
+            pp=_PP(cfg, net, h_tpl[a]), lead_pp=lead_pp_a)
         if cfg.lane_change:
             # raw (pre-kinematics) speed: the cross-partner lockstep min
             # runs in the lane domain before the negative-speed split
-            vr = min_chain(*mc_args, v_yield=ap_ch(15)[a], raw=True)
+            vr = min_chain(*mc_args, v_yield=ap_ch(15)[a], raw=True,
+                           **mc_kw)
             ap_out.append(dict(spd=vr, dis=h_dis[a],
                                rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
                                ffo_lk=ffo_ap[a],
                                red_lk=red_ap[a] & mine_lk[a]))
         else:
-            vs, dd = min_chain(*mc_args)
+            vs, dd = min_chain(*mc_args, **mc_kw)
             ap_out.append(dict(spd=vs, dis=h_dis[a] + dd,
                                rel=mine_ilg, fail_lk=af_ap[a] & mine_lk[a],
                                ffo_lk=ffo_ap[a],
@@ -976,7 +1184,15 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         [jnp.zeros((1, LNp), f), rs.l_speed[:-1]], axis=0)
     has_lead_l = jnp.concatenate(
         [jnp.zeros((1, LNp), bool), occ_l[:-1]], axis=0)
-    gap_l = lead_dis_l - p_len - rs.l_dis
+    if cfg.uniform:
+        lane_mc_kw = {}
+        gap_l = lead_dis_l - p_len - rs.l_dis
+    else:
+        lead_tpl_l = jnp.concatenate(
+            [jnp.zeros((1, LNp), jnp.int32), rs.l_tpl[:-1]], axis=0)
+        lead_pp_l = _PP(cfg, net, lead_tpl_l)
+        lane_mc_kw = dict(pp=_PP(cfg, net, rs.l_tpl), lead_pp=lead_pp_l)
+        gap_l = lead_dis_l - lead_pp_l[P_LEN] - rs.l_dis
     lane_left_l = net["ln_len"][None, :] - rs.l_dis
     invalid_l = occ_l & (rs.l_nxt < 0) & ~rs.l_last
     in_inv = net["in_inv"]
@@ -1012,7 +1228,7 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         new_spd_l = jnp.where(neg, f(0), vmin)
         new_dis_l = rs.l_dis + delta_l
     else:
-        new_spd_l, delta_l = min_chain(*lane_mc_args)
+        new_spd_l, delta_l = min_chain(*lane_mc_args, **lane_mc_kw)
         new_dis_l = rs.l_dis + delta_l
         back = jnp.stack(
             [x for a in range(AP) for x in
@@ -1091,7 +1307,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     h_prih = ap_ch(7); h_pril = ap_ch(8)
     h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
     h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
-    NFC = (inl.shape[0] - 2) // AP        # 14 (+gap,yv with lane change)
+    h_tpl = ap_ch(14).astype(jnp.int32) if not cfg.uniform else None
+    NFC = (inl.shape[0] - 2) // AP   # 14 (+gap,yv LC / +tpl non-uniform)
     il_len = inl[NFC * AP]
 
     g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]
@@ -1316,6 +1533,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
               "pril", "uid", "nxtl"]
     if cfg.lane_change:
         ENT_CH = ENT_CH + ["gap"]
+    if not cfg.uniform:
+        ENT_CH = ENT_CH + ["tpl"]
     for a in range(AP):
         ex_a = (ex_in[:, a] > 0).reshape(IL, G) & h_occ[a]
         ohl = ohls[a]
@@ -1332,6 +1551,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
                 h_uid[a].astype(f), h_nxt3[a].astype(f)]
         if cfg.lane_change:
             src.append(ap_ch(14)[a])          # stale controllerInfo.gap
+        if not cfg.uniform:
+            src.append(h_tpl[a].astype(f))
         got_ = to_link(ohl, [okf] + [jnp.where(ok, x, 0.0) for x in src])
         ent_valid.append(got_[0] > 0.5)
         ent_bundles.append(dict(zip(ENT_CH, got_[1:])))
@@ -1388,6 +1609,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     new_k_entll = append_k(new_k_entll, ent_step_val,
                            float(INT_MAX)).astype(i32)
     new_k_gap = commit_k(rs.k_gap, "gap", 0.0) if cfg.lane_change else None
+    new_k_tpl = commit_k(rs.k_tpl.astype(f), "tpl", 0.0, i32) \
+        if not cfg.uniform else None
 
     # ---- lane ring: shift out + append link leavers (pushBuffer order:
     #      distance desc, engine.cpp:477-494) ----------------------------
@@ -1407,6 +1630,8 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         prev=jnp.broadcast_to(
             (LNp + jnp.arange(LKp, dtype=i32))[None, :].astype(f),
             (SK, LKp)))
+    if not cfg.uniform:
+        payload["tpl"] = rs.k_tpl.astype(f)
     if cfg.lane_change:
         payload["gap"] = rs.k_gap
         payload["zero"] = jnp.zeros((SK, LKp), f)
@@ -1505,6 +1730,11 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     new_l_nxt3 = commit_l(rs.l_nxt3.astype(f), PCH.index("nxt3"), -1.0, i32)
     new_l_last = commit_l(rs.l_last.astype(f), PCH.index("last"), 0.0) > 0.5
     new_l_prev = commit_l(rs.l_prev.astype(f), PCH.index("prev"), -1.0, i32)
+    tpl_commit_kw = {}
+    if not cfg.uniform:
+        tpl_commit_kw = dict(
+            l_tpl=commit_l(rs.l_tpl.astype(f), PCH.index("tpl"), 0.0, i32),
+            k_tpl=new_k_tpl)
 
     lc_commit_kw = {}
     if cfg.lane_change:
@@ -1578,7 +1808,7 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         k_nxtl=new_k_nxtl,
         k_custom=jnp.zeros((SK, LKp), f),
         k_hascustom=jnp.zeros((SK, LKp), bool),
-        **lc_commit_kw)
+        **lc_commit_kw, **tpl_commit_kw)
     return new_rs, dbg
 
 

@@ -196,9 +196,17 @@ class RingShell:
         ring_sim.rebuild_queues(self.sim, self.engine._spawn, self.horizon)
 
     def check_uniform_template(self, params_row) -> bool:
-        return bool(np.allclose(np.asarray(params_row, np.float64),
-                                np.asarray(self.sim.meta.param_row,
-                                           np.float64)))
+        """push_vehicle template acceptance: the row must be one the ring
+        already knows — the single uniform row, or (non-uniform path) any
+        row of the baked tpl_params table. A genuinely NEW template would
+        need a table rebuild; the Engine raises and points at gen-1."""
+        row = np.asarray(params_row, np.float64)
+        if self.sim.meta.uniform_params:
+            return bool(np.allclose(row, np.asarray(
+                self.sim.meta.param_row, np.float64)))
+        tpp = np.asarray(jax.device_get(self.sim.tables["tpl_params"]),
+                         np.float64)
+        return bool(np.any(np.all(np.isclose(tpp, row[None]), axis=1)))
 
     def reset(self):
         from cityflow_tpu.core.ring import init_ring_state

@@ -25,8 +25,18 @@ class RingSim:
     gen: SpawnGenerator = None
 
 
+def _flow_tpl_now(net: CompiledNet, tpl_params: np.ndarray) -> np.ndarray:
+    """Current flow -> template-index map. Recomputed from the LIVE
+    flow_params rows (manual push_vehicle writes synthetic flow rows after
+    compile; the template itself was validated against tpl_params by
+    ring_backend.check_uniform_template)."""
+    fp = net.flow_params.astype(np.float32)
+    eq = np.all(np.isclose(fp[:, None, :], tpl_params[None]), axis=2)
+    return np.where(eq.any(1), eq.argmax(1), 0).astype(np.int32)
+
+
 def _build_queues(gen: SpawnGenerator, meta: RingMeta, horizon: int,
-                  qcap_round: int = 256):
+                  qcap_round: int = 256, flow_tpl=None):
     """Group the host-replayed spawn rows (mt19937 stream, compiler/spawn.py)
     into per-entry-lane FIFO queues. Row uid = global row index (gen-1 uses
     the same: spawn_cursor + arange)."""
@@ -55,6 +65,11 @@ def _build_queues(gen: SpawnGenerator, meta: RingMeta, horizon: int,
             q["pri"][e, j] = t["priority"][r]
             q["route"][e, j] = t["route"][r]
             q["uid"][e, j] = r
+    if flow_tpl is not None:
+        q["tpl"] = np.where(
+            q["flow"] >= 0,
+            flow_tpl[np.clip(q["flow"], 0, len(flow_tpl) - 1)],
+            0).astype(np.int32)
     return q
 
 
@@ -70,16 +85,31 @@ def build_sim(net: CompiledNet, horizon: int = 512,
     tb, meta = build_ring(net, interval)
     if not meta.supported:
         raise ValueError(f"ring layout unsupported: {meta.unsupported_reason}")
-    if not meta.uniform_params:
-        raise ValueError("ring layout requires uniform vehicle templates")
+    if lane_change and not meta.uniform_params:
+        # the LC urgency/benefit formulas are not yet templated; the
+        # Engine falls back to gen-1 for this combination
+        raise ValueError("ring lane change requires uniform vehicle "
+                         "templates (gen-1 covers the general case)")
 
-    p = meta.param_row
-    min_len = float(p[P_LEN]) + float(p[P_MINGAP])
+    if meta.uniform_params:
+        p = meta.param_row
+        min_len = float(p[P_LEN]) + float(p[P_MINGAP])
+        max_spd = float(p[8])
+        params = tuple(float(v) for v in meta.param_row)
+    else:
+        # capacity / exit-hop bounds from the worst-case template; the
+        # scalar params tuple is POISONED so any use site missed by the
+        # per-slot materialization fails loudly (NaN) instead of silently
+        # simulating the wrong template
+        used = np.asarray(tb["tpl_params"])
+        min_len = float((used[:, P_LEN] + used[:, P_MINGAP]).min())
+        max_spd = float(used[:, 8].max())
+        params = tuple([float("nan")] * 12)
     lane_cap = int(np.ceil(np.asarray(tb["ln_len"]).max() / min_len)) + 2
     link_cap = int(np.ceil(np.asarray(tb["lk_len"]).max() / min_len)) + 2
     SL = sl if sl is not None else lane_cap
     SK = sk if sk is not None else link_cap
-    xk = max(2, int(np.ceil(float(p[8]) * interval / min_len)))
+    xk = max(2, int(np.ceil(max_spd * interval / min_len)))
 
     cfg = RingConfig(
         interval=interval, I=meta.I, G=meta.G, T=meta.T,
@@ -87,7 +117,8 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         KIN=meta.KIN, KOUT=meta.KOUT, LNp=meta.LNp, LKp=meta.LKp,
         SL=SL, SK=SK, AP=max(2, xk), XK=xk, SA=4, TMAX=tmax,
         type_ranges=meta.type_ranges,
-        params=tuple(float(v) for v in meta.param_row),
+        params=params,
+        uniform=bool(meta.uniform_params), TP=int(meta.TP),
         rl_traffic_light=bool(cfgj["rlTrafficLight"]),
         foe_via_perm=meta.foe_via_perm,
         SKC=(skc if skc is not None else 4),
@@ -99,7 +130,9 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         out_shifts=tuple(meta.out_shifts))
 
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
-    q = _build_queues(gen, meta, horizon)
+    q = _build_queues(gen, meta, horizon,
+                      flow_tpl=None if cfg.uniform
+                      else _flow_tpl_now(net, np.asarray(tb["tpl_params"])))
     st = init_ring_state(cfg, tb, len(meta.entry_lanes))   # host-side tables
     tables = {k: jnp.asarray(v) for k, v in tb.items()}
     qd = {k: jnp.asarray(v) for k, v in q.items()}
@@ -133,7 +166,11 @@ def rebuild_queues(sim: RingSim, gen: SpawnGenerator, horizon: int):
     grouping of already-consumed rows is unchanged and the live
     `el_cursor` values stay valid; only new rows append."""
     import jax.numpy as jnp
-    q = _build_queues(gen, sim.meta, horizon)
+    q = _build_queues(gen, sim.meta, horizon,
+                      flow_tpl=None if sim.cfg.uniform
+                      else _flow_tpl_now(
+                          sim.net,
+                          np.asarray(sim.tables["tpl_params"])))
     sim.q = {k: jnp.asarray(v) for k, v in q.items()}
     sim.gen = gen
     return sim
@@ -176,6 +213,8 @@ def grow_slots(sim: RingSim, dsl: int = 0, dsk: int = 0):
         for n in ("l_last", "l_hascustom", "l_sh", "l_chg"):
             if getattr(st, n) is not None:
                 kw[n] = padl(getattr(st, n), False)
+        if st.l_tpl is not None:
+            kw["l_tpl"] = padl(st.l_tpl, 0)
         if st.l_rnrow is not None:
             kw["l_rnrow"] = jnp.concatenate(
                 [st.l_rnrow, jnp.full(
@@ -194,6 +233,8 @@ def grow_slots(sim: RingSim, dsl: int = 0, dsk: int = 0):
                         ("k_nxtl", -1)):
             kw[n] = padk(getattr(st, n), fill)
         kw["k_hascustom"] = padk(st.k_hascustom, False)
+        if st.k_tpl is not None:
+            kw["k_tpl"] = padk(st.k_tpl, 0)
     sim.state = st.replace_fields(**kw)
     sim.cfg = dataclasses.replace(cfg, SL=cfg.SL + dsl, SK=cfg.SK + dsk)
     return sim
@@ -218,6 +259,8 @@ def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
              "k_pri", "k_custom", "k_hascustom", "el_cursor"]
     if lc:
         names += ["l_sh", "l_dir", "l_off", "l_gap", "k_gap"]
+    if not cfg.uniform:
+        names += ["l_tpl", "k_tpl"]
     vals = jax.device_get([getattr(st, n) for n in names])
     c = dict(zip(names, vals))
     SL, LNp = c["l_uid"].shape
@@ -341,9 +384,17 @@ def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
             out[k] = np.concatenate([out[k], pad[k]])
     n = nl + nk + nw
     out["active"] = np.ones(n, bool)
-    p = m.param_row
-    out["len"] = np.full(n, float(p[1]))
-    out["width"] = np.full(n, float(p[2]))
+    if m.uniform_params:
+        p = m.param_row
+        out["len"] = np.full(n, float(p[1]))
+        out["width"] = np.full(n, float(p[2]))
+    else:
+        tpl = np.concatenate(
+            [c["l_tpl"][ls, lp], c["k_tpl"][ks, kp],
+             wrow["tpl"] if nw else np.zeros(0, np.int32)]).astype(np.int64)
+        tpp = np.asarray(jax.device_get(sim.tables["tpl_params"]))
+        out["len"] = tpp[tpl, 1].astype(np.float64)
+        out["width"] = tpp[tpl, 2].astype(np.float64)
     return out
 
 

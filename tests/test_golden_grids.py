@@ -39,3 +39,19 @@ def test_grid_2x2_1000_steps_exact():
 def test_grid_4x4_300_steps_exact():
     _run_parity(os.path.join(HERE, "fixtures", "config_4x4.json"),
                 "grid4x4_1000.jsonl.gz", 300)
+
+
+def test_grid_2x2_mixed_templates_200_steps_exact():
+    """Non-uniform vehicle templates (3 per-flow templates differing in
+    length/acc/minGap/maxSpeed/headway): per-vehicle VehicleInfo params
+    (vehicle.h:31-45) incl. the leader's maxNegAcc/usualNegAcc/len in the
+    car-following terms (vehicle.cpp:160,217,229), bit-exact vs the
+    unmodified reference."""
+    _run_parity(os.path.join(HERE, "fixtures", "config_2x2_mixed.json"),
+                "grid2x2_mixed_1000.jsonl.gz", 200)
+
+
+@pytest.mark.slow
+def test_grid_2x2_mixed_templates_1000_steps_exact():
+    _run_parity(os.path.join(HERE, "fixtures", "config_2x2_mixed.json"),
+                "grid2x2_mixed_1000.jsonl.gz", 1000)

@@ -120,6 +120,14 @@ def test_ring_matches_gen1_4x4():
     _run_compare(_fix("config_4x4.json"), 100)
 
 
+def test_ring_matches_gen1_2x2_mixed_templates():
+    """Non-uniform vehicle templates on the ring: per-slot template
+    indices + one-hot param materialization (core/ring.py _PP) against
+    gen-1's per-vehicle params (itself pinned bit-exact vs the reference
+    by tests/test_golden_grids.py::test_grid_2x2_mixed_*)."""
+    _run_compare(_fix("config_2x2_mixed.json"), 200, skc=99)
+
+
 @pytest.mark.slow
 def test_ring_matches_gen1_4x4_long():
     # full Cross::canPass fidelity (the default SKC=4 caps evaluation to

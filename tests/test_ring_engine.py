@@ -61,6 +61,34 @@ def test_ring_engine_matches_gen1_fast():
     assert wr == wg
 
 
+def test_ring_engine_mixed_templates():
+    """Non-uniform vehicle templates ride the ring-backed Engine:
+    auto-selection accepts them (laneChange:false), getters agree with
+    gen-1, and get_vehicle_info reports each vehicle's own template
+    geometry (Engine::getVehicleInfo, engine.cpp:615-680)."""
+    r = _mk("config_2x2_mixed.json")
+    assert r._ring is not None
+    assert not r._ring.sim.cfg.uniform and r._ring.sim.cfg.TP == 3
+    g = _mk("config_2x2_mixed.json", backend="gen1")
+    for t in range(60):
+        r.next_step()
+        g.next_step()
+        if t % 20 == 19:
+            assert sorted(r.get_vehicles()) == sorted(g.get_vehicles()), t
+            assert r.get_lane_vehicle_count() == g.get_lane_vehicle_count()
+    for v in r.get_vehicles():
+        ir = r.get_vehicle_info(v)
+        ig = g.get_vehicle_info(v)
+        assert ir["drivable"] == ig["drivable"], v
+        assert abs(float(ir["distance"]) - float(ig["distance"])) < 2e-3
+    # per-template geometry comes back through the ring fetch (feeds the
+    # replay log's per-vehicle len/width, engine.cpp:518-554)
+    cr = r._fetch()
+    lens = {round(float(cr["len"][i]), 3)
+            for i in range(len(cr["uid"])) if cr["running"][i]}
+    assert lens <= {5.0, 10.0, 4.0} and len(lens) > 1, lens
+
+
 def test_ring_engine_control_surface():
     eng = _mk()
     for _ in range(30):
