@@ -22,6 +22,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_1T = {"4x4": 182.0, "16x16": 100.0, "30x30": 67.0, "example": 670.0}
 
+# benchmark roadnets are generator output (gitignored); rebuild on demand
+_GEN_GRID = {"roadnet_16_16.json": 16, "roadnet_30_30.json": 30}
+
+
+def _ensure_roadnet(cfg_path):
+    with open(cfg_path) as f:
+        cfgj = json.load(f)
+    rn = cfgj.get("roadnetFile", "")
+    path = os.path.join(cfgj.get("dir", ""), rn)
+    if os.path.exists(path) or rn not in _GEN_GRID:
+        return
+    import subprocess
+    import tempfile
+    n = _GEN_GRID[rn]
+    here = os.path.dirname(os.path.abspath(__file__))
+    gen = os.path.join(here, "tools", "generator",
+                       "generate_grid_scenario.py")
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run(
+            [sys.executable, gen, str(n), str(n), "--dir", td + "/",
+             "--roadnetFile", rn, "--flowFile", "flow_tmp.json"],
+            check=True)
+        os.replace(os.path.join(td, rn), path)
+    print(f"regenerated {path}", file=sys.stderr)
+
 
 def run_ring(args, net):
     import jax
@@ -175,6 +200,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     cfg_path = args.config if os.path.isabs(args.config) \
         else os.path.join(here, args.config)
+    _ensure_roadnet(cfg_path)
     net = compile_scenario(cfg_path)
 
     scen = "other"
