@@ -1,245 +1,15 @@
 #!/usr/bin/env python3
-"""Benchmark: aggregate env-steps/s of the vectorized simulator.
+"""Driver entry point: prints ONE JSON line with the metric of record
+(30x30 grid env-steps/s vs the 8-thread reference proxy). The benchmark
+itself lives in the installable package (cityflow_tpu/tools/bench.py;
+console entry point `cityflow-tpu-bench`)."""
 
-Default = the metric of record: the 30x30 grid (BASELINE.md), gen-2 ring
-layout, f32, vmapped batch, on the default jax device (TPU when present).
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Baseline: the reference C++ engine measured on this host (1 thread,
-tools/oracle/README.md): 4x4 grid = 182 steps/s, 16x16 ~ 100, 30x30 = 67.
-The driver's bar is 8-thread C++; we scale the 1-thread number by 8
-(optimistic for the reference — it scales sub-linearly).
-"""
-
-import argparse
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_1T = {"4x4": 182.0, "16x16": 100.0, "30x30": 67.0, "example": 670.0}
-
-# benchmark roadnets are generator output (gitignored); rebuild on demand
-_GEN_GRID = {"roadnet_16_16.json": 16, "roadnet_30_30.json": 30}
-
-
-def _ensure_roadnet(cfg_path):
-    with open(cfg_path) as f:
-        cfgj = json.load(f)
-    rn = cfgj.get("roadnetFile", "")
-    path = os.path.join(cfgj.get("dir", ""), rn)
-    if os.path.exists(path) or rn not in _GEN_GRID:
-        return
-    import subprocess
-    import tempfile
-    n = _GEN_GRID[rn]
-    here = os.path.dirname(os.path.abspath(__file__))
-    gen = os.path.join(here, "tools", "generator",
-                       "generate_grid_scenario.py")
-    with tempfile.TemporaryDirectory() as td:
-        subprocess.run(
-            [sys.executable, gen, str(n), str(n), "--dir", td + "/",
-             "--roadnetFile", rn, "--flowFile", "flow_tmp.json"],
-            check=True)
-        os.replace(os.path.join(td, rn), path)
-    print(f"regenerated {path}", file=sys.stderr)
-
-
-def run_ring(args, net):
-    import jax
-    import jax.numpy as jnp
-    from cityflow_tpu import ring_sim
-    from cityflow_tpu.core.ring import (
-        ring_step_batched, ring_step_p1_batched, ring_step_p2_batched)
-
-    t0 = time.time()
-    sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
-                             sl=args.lane_slots)
-    build_s = time.time() - t0
-    st0 = sim.state
-    B = args.batch
-    bstate = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
-        if hasattr(x, "shape") else x, st0)
-    if net.num_links > 16000 or (sim.cfg.lane_change
-                                 and net.num_links > 4000):
-        # split compilation: the monolithic 30x30 program exceeds
-        # practical XLA compile budgets on the tunneled backend, and so
-        # does the 16x16 with lane change (~2x the program); tables
-        # ride as jit arguments (constants bloat compile + cache load)
-        def step_b(s):
-            s, m = ring_step_p1_batched(sim.tables, sim.cfg, s, sim.q)
-            return ring_step_p2_batched(sim.tables, sim.cfg, s, m)
-    else:
-        def step_b(s):
-            return ring_step_batched(sim.tables, sim.cfg, s, sim.q)
-    t0 = time.time()
-    bstate = jax.block_until_ready(step_b(bstate))
-    compile_s = time.time() - t0
-    for _ in range(args.warmup - 1):
-        bstate = step_b(bstate)
-    bstate = jax.block_until_ready(bstate)
-    t0 = time.time()
-    s = bstate
-    for _ in range(args.steps):
-        s = step_b(s)
-    s = jax.block_until_ready(s)
-    dt = time.time() - t0
-    ov = int(jnp.max(s.overflow))
-    veh = int(jnp.sum(s.n_l[0]) + jnp.sum(s.n_k[0]))
-    return dt, ov, veh, build_s, compile_s
-
-
-def run_gen1(args, net):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from cityflow_tpu.compiler.spawn import SpawnGenerator
-    from cityflow_tpu.core.state import StepConfig, init_state
-    from cityflow_tpu.engine import _net_device_arrays
-    from cityflow_tpu.parallel.batch import init_batch_state
-    from cityflow_tpu.core import step as step_mod
-
-    cfgj = net.host.config
-    interval = float(cfgj["interval"])
-    gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
-    horizon = args.warmup + args.steps + 8
-    gen.extend(horizon)
-    t = gen.arrays()
-    pad = max(gen.max_per_step, 1)
-    spawn_dev = {k: jnp.asarray(np.concatenate(
-        [t[k], np.full(pad, -1 if k == "step" else 0, t[k].dtype)]))
-        for k in ("step", "flow", "priority", "first_drv", "route")}
-    L = net.num_lanes
-    ll_len = net.drv_len[L:] if net.num_links else np.zeros(1)
-    k_link = int(min(16, np.ceil(ll_len.max() / 7.0) + 2)) if net.num_links else 4
-    cfg = StepConfig(
-        interval=interval, num_lanes=net.num_lanes,
-        num_drivables=net.num_lanes + net.num_links,
-        max_vehicles=args.max_vehicles,
-        max_spawn_per_step=gen.max_per_step,
-        k_link=k_link, k_scan=6, k_hop=4,
-        k_out=max(net.host.ko, 1), k_cross=max(net.host.kc, 1),
-        rl_traffic_light=bool(cfgj["rlTrafficLight"]),
-        lane_change=bool(cfgj.get("laneChange", False)),
-        exact=False)
-    net_dev = _net_device_arrays(net, np.float32)
-    st0 = init_state(cfg, net.num_inters, net.phase_time, net.n_phases,
-                     net.phase_offset)
-    state = init_batch_state(cfg, st0, args.batch)
-    split = net.num_links > 2000
-    # net/spawn tables ride as jit arguments (closure constants are
-    # re-staged per dispatch by the axon runtime — see docs/design.md)
-    if split:
-        p1 = jax.jit(jax.vmap(
-            lambda n, s, sp: step_mod.step_part1.__wrapped__(n, cfg, s, sp),
-            in_axes=(None, 0, None)))
-        p2a = jax.jit(jax.vmap(
-            lambda n, s, arr, fa, ia: step_mod.step_part2a.__wrapped__(
-                n, cfg, s, arr, fa, ia), in_axes=(None, 0, 0, 0, 0)))
-        p2b = jax.jit(jax.vmap(
-            lambda n, s, arr, la, vn, nf: step_mod.step_part2b.__wrapped__(
-                n, cfg, s, arr, la, vn, nf), in_axes=(None, 0, 0, 0, 0, 0)))
-        p3 = jax.jit(jax.vmap(
-            lambda n, s, arr, buf, ov: step_mod.step_part3.__wrapped__(
-                n, cfg, s, arr, buf, ov), in_axes=(None, 0, 0, 0, 0)))
-
-        def step_b(s):
-            s, arr, fa, ia = p1(net_dev, s, spawn_dev)
-            la, vn, nf = p2a(net_dev, s, arr, fa, ia)
-            buf, ovh = p2b(net_dev, s, arr, la, vn, nf)
-            return p3(net_dev, s, arr, buf, ovh)
-    else:
-        stepj = jax.jit(jax.vmap(
-            lambda n, s, sp: step_mod.step.__wrapped__(n, cfg, s, sp),
-            in_axes=(None, 0, None)))
-
-        def step_b(s):
-            return stepj(net_dev, s, spawn_dev)
-    t0 = time.time()
-    state = jax.block_until_ready(step_b(state))
-    compile_s = time.time() - t0
-    for _ in range(args.warmup - 1):
-        state = step_b(state)
-    state = jax.block_until_ready(state)
-    t0 = time.time()
-    for _ in range(args.steps):
-        state = step_b(state)
-    state = jax.block_until_ready(state)
-    dt = time.time() - t0
-    ov = int(jnp.max(state.overflow))
-    veh = int(jnp.sum(state.active[0]))
-    return dt, ov, veh, 0.0, compile_s
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="benchmarks/config_30x30.json")
-    ap.add_argument("--layout", choices=["ring", "gen1", "auto"],
-                    default="auto",
-                    help="gen-2 ring (fast path) or gen-1 slot pool")
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--lane-slots", type=int, default=40,
-                    help="ring lane capacity; 40 = jam capacity, the "
-                         "setting validated ring==gen-1 for 600 steps on "
-                         "16x16/30x30 (artifacts/ring_fid_*.json)")
-    ap.add_argument("--max-vehicles", type=int, default=4096)
-    ap.add_argument("--ref-steps-per-s", type=float, default=None)
-    args = ap.parse_args()
-
-    import jax
-    from cityflow_tpu.compiler.net import compile_scenario
-    from cityflow_tpu.engine import _enable_compilation_cache
-
-    _enable_compilation_cache()
-    here = os.path.dirname(os.path.abspath(__file__))
-    cfg_path = args.config if os.path.isabs(args.config) \
-        else os.path.join(here, args.config)
-    _ensure_roadnet(cfg_path)
-    net = compile_scenario(cfg_path)
-
-    scen = "other"
-    for k in REF_1T:
-        if k in args.config:
-            scen = k
-            break
-    ref = args.ref_steps_per_s or REF_1T.get(scen, 67.0)
-
-    layout = args.layout
-    if layout in ("ring", "auto"):
-        try:
-            dt, ov, veh, build_s, compile_s = run_ring(args, net)
-            layout = "ring"
-        except ValueError:
-            if args.layout == "ring":
-                raise
-            layout = "gen1"
-    if layout == "gen1":
-        dt, ov, veh, build_s, compile_s = run_gen1(args, net)
-
-    env_steps = args.batch * args.steps
-    rate = env_steps / dt
-    baseline = ref * 8  # 8-thread reference proxy
-    print(json.dumps({
-        "metric": f"env_steps_per_sec_{scen}",
-        "value": round(rate, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(rate / baseline, 2),
-        "layout": layout,
-        "batch": args.batch, "steps": args.steps,
-        "ms_per_batched_step": round(dt * 1000 / args.steps, 2),
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]).split(":")[0],
-        "overflow_flags": ov,
-        "vehicles_per_env": veh,
-        "seconds": round(dt, 3),
-    }))
-
+from cityflow_tpu.tools.bench import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -1845,7 +1845,10 @@ def ring_step_split(net, cfg: RingConfig, rs: RingState, q):
 # Batched entries with net/q as jit ARGUMENTS: a vmapped closure over the
 # tables bakes them into the HLO as (100+ MB of) constants, which blows up
 # both compile time and persistent-cache load time on the tunneled backend.
-@partial(jax.jit, static_argnums=(1,))
+# The batched state is DONATED: without aliasing, B=64 x sl=40 on 30x30
+# double-buffers ~2x the live state and overflows one chip's HBM (the
+# round-3 bench crash). Callers must not reuse rs_b after the call.
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
 def ring_step_p1_batched(net, cfg: RingConfig, rs_b, q):
     def one(s):
         rs2, mid, _ = _notify_phase(net, cfg, s, q, False)
@@ -1853,7 +1856,7 @@ def ring_step_p1_batched(net, cfg: RingConfig, rs_b, q):
     return jax.vmap(one)(rs_b)
 
 
-@partial(jax.jit, static_argnums=(1,))
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(2, 3))
 def ring_step_p2_batched(net, cfg: RingConfig, rs_b, mid_b):
     def one(s, m):
         new_rs, _ = _commit_phase(net, cfg, s, m)
@@ -1861,7 +1864,7 @@ def ring_step_p2_batched(net, cfg: RingConfig, rs_b, mid_b):
     return jax.vmap(one)(rs_b, mid_b)
 
 
-@partial(jax.jit, static_argnums=(1,))
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
 def ring_step_batched(net, cfg: RingConfig, rs_b, q):
     def one(s):
         rs2, mid, _ = _notify_phase(net, cfg, s, q, False)

@@ -1,22 +1,27 @@
 """Ring (gen-2) backend for the reference-compatible `Engine`.
 
 `Engine(config, exact=False)` auto-selects this shell whenever the
-compiled scenario fits the ring layout (grid-like nets, uniform vehicle
-templates — compiler/ring_net.py `RingMeta.supported`).  All 23 API
+compiled scenario fits the ring layout (grid-like nets — see
+compiler/ring_net.py `RingMeta.supported`; non-uniform vehicle templates
+ride the one-hot `_PP` template channel, core/ring.py).  All 23 API
 methods of the reference pybind11 module (src/cityflow.cpp:10-47) are
 served from the per-drivable slot arrays via `ring_sim.fetch_full`; the
 step itself is the jitted `ring_step` — 1-2 orders of magnitude faster
 than the gen-1 slot-pool shell on city-scale nets.
 
-Scope notes (documented divergences, mirrored from ring_sim):
+Scope notes (documented divergences, see docs/api.md "Backend
+divergences" for the contract-level table and the `backend=` switch):
   * f32 fast mode only (bit-exact mode stays on the gen-1 exact path);
-  * `push_vehicle` accepts only vehicles whose template equals the
-    scenario's uniform template (the ring bakes one parameter row);
-  * `get_leader` answers the same-drivable predecessor (the reference's
-    cross-drivable hop-1 leader is not stored per-slot in this layout);
-  * `set_vehicle_speed` persists while the vehicle stays on its current
-    LANE; the custom flag is dropped at the lane->link transfer (re-issue
-    per step for continuous control — the controller loop pattern).
+  * `push_vehicle` accepts any template row the ring already knows (the
+    uniform row, or any row of the baked tpl_params table); a genuinely
+    NEW template requires the gen-1 backend (`check_uniform_template`);
+  * `get_leader` answers the leader INCLUDING across the drivable
+    boundary (reference vehicle.cpp:157-196 forward walk with the
+    overlapping-lanelink rule), reconstructed at fetch time;
+  * `set_vehicle_speed` applies to the NEXT `next_step` only and then
+    auto-clears — exactly the reference's buffered one-shot
+    (setCustomSpeed buffers, vehicle.cpp:120-121 clears on update();
+    both backends match; re-issue per step for continuous control).
 """
 
 from dataclasses import replace as dc_replace

@@ -240,6 +240,124 @@ def grow_slots(sim: RingSim, dsl: int = 0, dsk: int = 0):
     return sim
 
 
+def _fill_cross_drivable_leaders(sim, c, out, lead, nl, nk, ls, lp, ks, kp,
+                                 idx_l, idx_k):
+    """Reference Vehicle::updateLeaderAndGap forward walk for ring-front
+    vehicles (vehicle.cpp:157-196): scan routed next drivables in order;
+    at a LaneLink hop consider ALL lanelinks leaving the previous lane
+    (the overlapping-lanelink rule, vehicle.cpp:170-180) and take the
+    min-gap last vehicle; stop once the accumulated distance exceeds
+    maxSpeed^2/(2*usualNegAcc) + 2*maxSpeed*interval. The walk is capped
+    at nxt/endlane/nxt3/endlane(nxt3) — the route info carried per slot;
+    with default templates the distance bound (~89 m) terminates inside
+    that window on any net with lanes longer than ~60 m."""
+    import jax
+    m = sim.meta
+    net = sim.net
+    cfg = sim.cfg
+    L = net.num_lanes
+    LNp = m.pos_lane.shape[0]
+    fronts = np.nonzero(lead[:nl + nk] < 0)[0]
+    if not len(fronts):
+        return
+    lk_end = np.asarray(jax.device_get(sim.tables["lk_end_lane"]))
+    if m.uniform_params:
+        p_row = np.asarray(m.param_row, np.float64)
+        tpl_all = None
+        tpp = None
+    else:
+        tpp = np.asarray(jax.device_get(sim.tables["tpl_params"]),
+                         np.float64)
+        tpl_all = np.concatenate(
+            [c["l_tpl"][ls, lp], c["k_tpl"][ks, kp]]).astype(np.int64)
+        p_row = None
+    # rearmost occupied row per ring lane / link position
+    last_l = np.full(LNp, -1, np.int64)
+    for pos in np.nonzero(c["n_l"] > 0)[0]:
+        last_l[pos] = idx_l[int(c["n_l"][pos]) - 1, pos]
+    LKp = m.pos_link.shape[0]
+    last_k = np.full(LKp, -1, np.int64)
+    for pos in np.nonzero(c["n_k"] > 0)[0]:
+        last_k[pos] = idx_k[int(c["n_k"][pos]) - 1, pos]
+    # ring lane pos -> ring link positions of all lanelinks leaving it
+    links_from = {}
+    for k_orig in range(net.num_links):
+        sl_pos = int(m.lane_pos[net.ll_start[k_orig]])
+        links_from.setdefault(sl_pos, []).append(int(m.link_pos[k_orig]))
+
+    def _len_row(r):
+        return float(p_row[1]) if tpl_all is None else \
+            float(tpp[tpl_all[r], 1])
+
+    def _lane_len(pos):
+        return float(net.drv_len[m.pos_lane[pos]])
+
+    def _link_len(pos):
+        return float(net.drv_len[L + m.pos_link[pos]])
+
+    interval = float(cfg.interval)
+    dis = out["dis"]
+    for i in fronts:
+        if tpl_all is None:
+            ms, una = float(p_row[8]), float(p_row[6])
+        else:
+            ms, una = float(tpp[tpl_all[i], 8]), float(tpp[tpl_all[i], 6])
+        bound = ms * ms / una / 2 + ms * interval * 2
+        # chain of (kind, ring pos[, prev lane ring pos]) next drivables
+        chain = []
+        if i < nl:
+            cur_len = _lane_len(lp[i])
+            v0 = int(c["l_nxt"][ls[i], lp[i]])
+            if v0 >= LNp:
+                kpos0 = v0 - LNp
+                chain.append(("link", kpos0, int(lp[i])))
+                el = int(lk_end[kpos0])
+                if el >= 0:
+                    chain.append(("lane", el))
+                    v3 = int(c["l_nxt3"][ls[i], lp[i]])
+                    if v3 >= LNp:
+                        chain.append(("link", v3 - LNp, el))
+                        el3 = int(lk_end[v3 - LNp])
+                        if el3 >= 0:
+                            chain.append(("lane", el3))
+        else:
+            cur_len = _link_len(kp[i - nl])
+            el = int(lk_end[kp[i - nl]])
+            if el >= 0:
+                chain.append(("lane", el))
+                v3 = int(c["k_nxtl"][ks[i - nl], kp[i - nl]])
+                if v3 >= LNp:
+                    chain.append(("link", v3 - LNp, el))
+                    el3 = int(lk_end[v3 - LNp])
+                    if el3 >= 0:
+                        chain.append(("lane", el3))
+        dis_rem = cur_len - float(dis[i])
+        found = -1
+        for item in chain:
+            if item[0] == "link":
+                _, kpos, prevl = item
+                best_gap = None
+                for k2 in links_from.get(prevl, ()):
+                    r2 = int(last_k[k2])
+                    if r2 >= 0:
+                        g2 = dis_rem + float(dis[r2]) - _len_row(r2)
+                        if best_gap is None or g2 < best_gap:
+                            best_gap, found = g2, r2
+                if found >= 0:
+                    break
+                dis_rem += _link_len(kpos)
+            else:
+                r2 = int(last_l[item[1]])
+                if r2 >= 0:
+                    found = r2
+                    break
+                dis_rem += _lane_len(item[1])
+            if dis_rem > bound:
+                break
+        if found >= 0:
+            lead[i] = found
+
+
 def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
     """Full host view in the gen-1 cache shape (engine.Engine._fetch):
     one row per live vehicle (lane slots first, then link slots) plus one
@@ -254,9 +372,9 @@ def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
     lc = cfg.lane_change
     names = ["n_l", "n_k", "step", "l_uid", "l_dis", "l_speed", "l_route",
              "l_rpos", "l_enter", "l_pri", "l_prev", "l_custom",
-             "l_hascustom",
+             "l_hascustom", "l_nxt", "l_nxt3",
              "k_uid", "k_dis", "k_speed", "k_route", "k_rpos", "k_enter",
-             "k_pri", "k_custom", "k_hascustom", "el_cursor"]
+             "k_pri", "k_custom", "k_hascustom", "k_nxtl", "el_cursor"]
     if lc:
         names += ["l_sh", "l_dir", "l_off", "l_gap", "k_gap"]
     if not cfg.uniform:
@@ -322,9 +440,8 @@ def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
         [litem("l_gap"), kitem("k_gap")]) if lc else np.zeros(nl + nk)
     # in-ring order IS the front-to-back list order
     out["list_seq"] = out["slot"].astype(np.int32)
-    # leader: the slot above in the same ring (front slots: none — the
-    # cross-drivable leader of Vehicle::updateLeaderAndGap is not stored
-    # per-slot in the ring layout)
+    # leader: the slot above in the same ring; ring-front vehicles get
+    # the cross-drivable leader via the reference's forward walk below
     lead = np.full(nl + nk, -1, np.int64)
     idx_l = np.full((SL, LNp), -1, np.int64)
     idx_l[ls, lp] = np.arange(nl)
@@ -334,6 +451,8 @@ def fetch_full(sim: RingSim, gen: Optional[SpawnGenerator] = None):
     idx_k[ks, kp] = nl + np.arange(nk)
     has_above_k = ks > 0
     lead[nl:][has_above_k] = idx_k[ks[has_above_k] - 1, kp[has_above_k]]
+    _fill_cross_drivable_leaders(sim, c, out, lead, nl, nk, ls, lp, ks, kp,
+                                 idx_l, idx_k)
     out["leader"] = lead.astype(np.int32)
     # partner: the row with the same uid and the opposite shadow flag
     part = np.full(nl + nk, -1, np.int32)

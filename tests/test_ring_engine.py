@@ -207,3 +207,35 @@ def test_ring_engine_replay_log(tmp_path):
     for tok in veh_part.split(",")[:1]:
         assert len(tok.split()) == 7          # x y angle id lcDir len width
     assert json.load(open(str(tmp_path / "rn.json")))["static"]["nodes"]
+
+
+def test_ring_engine_cross_drivable_leader():
+    """`get_leader` on the ring backend answers the reference's forward
+    walk (vehicle.cpp:157-196) INCLUDING across the drivable boundary:
+    compare against the gen-1 backend (whose leader field is the
+    transcribed reference computation) for every vehicle, and require
+    that at least one agreeing pair actually spans a lane->lanelink or
+    lanelink->lane boundary so the check is non-vacuous."""
+    r = _mk()
+    g = _mk(backend="gen1")
+    cross_pairs = 0
+    checked = 0
+    for t in range(90):
+        r.next_step()
+        g.next_step()
+        if t < 20 or t % 5 != 4:
+            continue
+        dist_g = g.get_vehicle_distance()
+        ids = sorted(set(r.get_vehicles()) & set(g.get_vehicles()))
+        lane_of_r = {}
+        for ln, vs in r.get_lane_vehicles().items():
+            for v in vs:
+                lane_of_r[v] = ln
+        for vid in ids:
+            lr, lg = r.get_leader(vid), g.get_leader(vid)
+            checked += 1
+            assert lr == lg, (t, vid, lr, lg, dist_g.get(vid))
+            if lr and lane_of_r.get(vid) != lane_of_r.get(lr):
+                cross_pairs += 1
+    assert checked > 50
+    assert cross_pairs > 0, "no cross-drivable leader pair exercised"
