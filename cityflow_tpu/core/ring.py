@@ -294,11 +294,15 @@ def lc_front_ctx(net, cfg: RingConfig, rs: RingState):
     out-link ring tails (olt_*, the lanechange.cpp:33-47 fallback
     candidates and the vehicle.cpp:170-180 overlap-rule leaders), the
     front vehicle's next-link length + end-lane tail (nlen/etd/ete), and
-    per-link end-lane tails (k_etd/k_ete) for the k_gap refresh."""
+    per-link end-lane tails (k_etd/k_ete) for the k_gap refresh.
+    Non-uniform templates: candidate/tail LEN channels ride along
+    (etl / olt_len / k_etl) and best_val subtracts each candidate's OWN
+    len; the uniform path stays structurally identical (bit-pinned)."""
     f = jnp.float32
     SL, SK, LNp, LKp = cfg.SL, cfg.SK, cfg.LNp, cfg.LKp
     G, LPI, IL, OL = cfg.G, cfg.LPI, cfg.IL, cfg.OL
     p_len = cfg.params[1]
+    tpp = net["tpl_params"] if not cfg.uniform else None
     sl_idx = jnp.arange(SL, dtype=jnp.int32)[:, None]
     sk_idx = jnp.arange(SK, dtype=jnp.int32)[:, None]
 
@@ -312,24 +316,43 @@ def lc_front_ctx(net, cfg: RingConfig, rs: RingState):
     etd_lk = _typed_mm(cfg, net["E_end"], ol_view(tl_dis)[None])[0]
     ete_lk = _typed_mm(cfg, net["E_end"],
                        ol_view(tl_exists.astype(f))[None])[0] > 0.5
+    if not cfg.uniform:
+        tl_tpl = _sel_slot(oh_tail, rs.l_tpl.astype(f)).astype(jnp.int32)
+        tl_len = _PP(cfg, net, tl_tpl)[P_LEN]                   # (LNp,)
+        etl_lk = _typed_mm(cfg, net["E_end"], ol_view(tl_len)[None])[0]
 
     # link ring tails -> per-in-lane out-link candidates (laneLinks order)
     oh_ktail = sk_idx == (rs.n_k - 1)[None, :]
     kt_dis = _sel_slot(oh_ktail, rs.k_dis)
     kt_exists = rs.n_k > 0
-    oc = _typed_mm(cfg, net["E_out"], jnp.stack(
-        [kt_dis.reshape(LPI, G), kt_exists.astype(f).reshape(LPI, G)],
-        axis=0)).reshape(2, IL, cfg.KOUT, G)
+    oc_in = [kt_dis.reshape(LPI, G), kt_exists.astype(f).reshape(LPI, G)]
+    if not cfg.uniform:
+        kt_tpl = _sel_slot(oh_ktail, rs.k_tpl.astype(f)).astype(jnp.int32)
+        kt_len = _PP(cfg, net, kt_tpl)[P_LEN]
+        oc_in.append(kt_len.reshape(LPI, G))
+    oc = _typed_mm(cfg, net["E_out"], jnp.stack(oc_in, axis=0)) \
+        .reshape(len(oc_in), IL, cfg.KOUT, G)
     oc_valid = net["out_valid_g"] > 0
-    # strict-min (first wins) over dis: same winner as the leader scan's
-    # min over dis - len (uniform lengths)
     best_ex = jnp.zeros((IL, G), bool)
     best_raw = jnp.zeros((IL, G), f)
-    for k in range(cfg.KOUT):
-        cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
-        better = cand_ex & (~best_ex | (oc[0, :, k] < best_raw))
-        best_raw = jnp.where(better, oc[0, :, k], best_raw)
-        best_ex = best_ex | cand_ex
+    if cfg.uniform:
+        # strict-min (first wins) over dis: same winner as the leader
+        # scan's min over dis - len (uniform lengths)
+        for k in range(cfg.KOUT):
+            cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
+            better = cand_ex & (~best_ex | (oc[0, :, k] < best_raw))
+            best_raw = jnp.where(better, oc[0, :, k], best_raw)
+            best_ex = best_ex | cand_ex
+        best_val_il = best_raw - p_len
+    else:
+        # each candidate subtracts ITS OWN len (vehicle.cpp:174 gap rule)
+        for k in range(cfg.KOUT):
+            cand_ex = (oc[1, :, k] > 0.5) & oc_valid[:, k]
+            v = oc[0, :, k] - oc[2, :, k]
+            better = cand_ex & (~best_ex | (v < best_raw))
+            best_raw = jnp.where(better, v, best_raw)
+            best_ex = best_ex | cand_ex
+        best_val_il = best_raw
 
     # the front vehicle's next link: length + end-lane tail, via the
     # (IL, G) one-hot routing used by the main phase
@@ -340,25 +363,37 @@ def lc_front_ctx(net, cfg: RingConfig, rs: RingState):
                       // jnp.int32(G), -1)
     ohl = (lpi_h[None] == jnp.arange(LPI, dtype=jnp.int32)
            [:, None, None]).astype(f)
-    fl = jnp.einsum("lig,clg->cig", ohl, jnp.stack(
-        [net["lk_len"].reshape(LPI, G), etd_lk,
-         ete_lk.astype(f)]), precision=HI)
+    fl_in = [net["lk_len"].reshape(LPI, G), etd_lk, ete_lk.astype(f)]
+    if not cfg.uniform:
+        fl_in.append(etl_lk)
+    fl = jnp.einsum("lig,clg->cig", ohl, jnp.stack(fl_in), precision=HI)
 
     # back to the lane axis
-    ch = [best_raw.reshape(-1) - p_len, best_ex.astype(f).reshape(-1),
+    ch = [best_val_il.reshape(-1), best_ex.astype(f).reshape(-1),
           fl[0].reshape(-1), fl[1].reshape(-1), fl[2].reshape(-1)]
     for k in range(cfg.KOUT):
         ch.append(oc[0, :, k].reshape(-1))
         ch.append((oc[1, :, k] > 0.5)
                   .astype(f).reshape(-1) * oc_valid[:, k].reshape(-1))
+    if not cfg.uniform:
+        ch.append(fl[3].reshape(-1))                 # end-tail len
+        for k in range(cfg.KOUT):
+            ch.append(oc[2, :, k].reshape(-1))       # candidate len
     lane = _bwd_ex(net, cfg, jnp.stack(ch, axis=-1))
-    return dict(
+    out = dict(
         best_val=lane[:, 0], best_ex=lane[:, 1] > 0.5,
         nlen=lane[:, 2], etd=lane[:, 3], ete=lane[:, 4] > 0.5,
         olt_dis=jnp.stack([lane[:, 5 + 2 * k] for k in range(cfg.KOUT)]),
         olt_ex=jnp.stack([lane[:, 6 + 2 * k] > 0.5
                           for k in range(cfg.KOUT)]),
         k_etd=etd_lk.reshape(-1), k_ete=ete_lk.reshape(-1))
+    if not cfg.uniform:
+        base = 5 + 2 * cfg.KOUT
+        out["etl"] = lane[:, base]
+        out["olt_len"] = jnp.stack(
+            [lane[:, base + 1 + k] for k in range(cfg.KOUT)])
+        out["k_etl"] = etl_lk.reshape(-1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -490,13 +525,27 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
                          jnp.clip(n_end - 1, 0) * LNp
                          + jnp.clip(end0, 0, LNp - 1))
         has_n0 = nxt0 >= 0
+        if cfg.uniform:
+            etl_e = p_len                    # end-lane tail's len
+            tl_len_e = p_len                 # entry lane tail's len
+            approach_e = approach            # SELF lookahead bound
+        else:
+            # per-entry (small EL domain) gathers, like the avail check
+            etl_tpl_e = jnp.take(rs.l_tpl.reshape(-1),
+                                 jnp.clip(n_end - 1, 0) * LNp
+                                 + jnp.clip(end0, 0, LNp - 1))
+            etl_e = jnp.take(tpp[:, P_LEN], etl_tpl_e)
+            tl_len_e = t_len_e               # from the avail check above
+            ms_e = jnp.take(tpp[:, P_MAXSPEED], row["tpl"])
+            una_e = jnp.take(tpp[:, P_USUALNEGACC], row["tpl"])
+            approach_e = ms_e * ms_e / una_e / 2 + ms_e * cfg.interval * 2
         f1_e = has_n0 & b_ex_e
         f2_e = has_n0 & ~b_ex_e & (n_end > 0) \
-            & (ln_len_e + nlen_e <= approach)
+            & (ln_len_e + nlen_e <= approach_e)
         scan_gap = jnp.where(
             f1_e, ln_len_e + b_val_e,
-            jnp.where(f2_e, ln_len_e + nlen_e + etd_e - p_len, f(0)))
-        adm_gap = jnp.where(tail_ex_e, t_dis - p_len, scan_gap)
+            jnp.where(f2_e, ln_len_e + nlen_e + etd_e - etl_e, f(0)))
+        adm_gap = jnp.where(tail_ex_e, t_dis - tl_len_e, scan_gap)
         lc_adm = dict(
             l_off=putc(rs.l_off, 0.0),
             l_sh=putc(rs.l_sh, False), l_chg=putc(rs.l_chg, False),
@@ -587,13 +636,13 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
            occ_l[:AP].astype(f)]
     if cfg.lane_change:
         # stale-gap channel for lane->link transfer payloads + per-slot
-        # yieldSpeed for the link-domain front min-chain
+        # yieldSpeed for the link-domain front min-chain (ch 14, 15)
         fch.append(rs.l_gap[:AP])
         fch.append(rs.l_yv[:AP])
     if not cfg.uniform:
-        # template index (channel 14 — LC and non-uniform are mutually
-        # exclusive, ring_sim.build_sim): small ints, exact in f32
+        # template index (ch 16 with LC, else 14): small ints, exact f32
         fch.append(rs.l_tpl[:AP].astype(f))
+    CH_TPL = 16 if cfg.lane_change else 14
     NFC = len(fch)
     fwd = jnp.concatenate(
         [jnp.stack(fch, axis=0).reshape(NFC * AP, LNp),
@@ -631,7 +680,7 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
     h_custom = ap_ch(11); h_hascustom = ap_ch(12) > 0
     h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
-    h_tpl = ap_ch(14).astype(jnp.int32) if not cfg.uniform else None
+    h_tpl = ap_ch(CH_TPL).astype(jnp.int32) if not cfg.uniform else None
     il_len = inl[NFC * AP]
     il_maxspd = inl[NFC * AP + 1]
 
@@ -1204,7 +1253,8 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         invalid_l, lane_left_l)
     if cfg.lane_change:
         from cityflow_tpu.core import ring_lc
-        vraw_l = min_chain(*lane_mc_args, v_yield=rs.l_yv, raw=True)
+        vraw_l = min_chain(*lane_mc_args, v_yield=rs.l_yv, raw=True,
+                           **lane_mc_kw)
         back = jnp.stack(
             [x for a in range(AP) for x in
              (ap_out[a]["spd"].reshape(-1),
@@ -1223,7 +1273,9 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
             dbg["lc_pv"] = pv
             dbg["lc_pf"] = pf
         neg = vmin < 0
-        delta_l = jnp.where(neg, 0.5 * rs.l_speed * rs.l_speed / f(p_maxneg),
+        mneg_l = f(p_maxneg) if cfg.uniform \
+            else _PP(cfg, net, rs.l_tpl)[P_MAXNEGACC]
+        delta_l = jnp.where(neg, 0.5 * rs.l_speed * rs.l_speed / mneg_l,
                             (rs.l_speed + vmin) * dt / 2)
         new_spd_l = jnp.where(neg, f(0), vmin)
         new_dis_l = rs.l_dis + delta_l
@@ -1307,8 +1359,9 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     h_prih = ap_ch(7); h_pril = ap_ch(8)
     h_uid = ap_ch(9).astype(jnp.int32); h_enter = ap_ch(10)
     h_occ = (ap_ch(13) > 0) & src_ok.reshape(IL, G)[None]
-    h_tpl = ap_ch(14).astype(jnp.int32) if not cfg.uniform else None
-    NFC = (inl.shape[0] - 2) // AP   # 14 (+gap,yv LC / +tpl non-uniform)
+    h_tpl = ap_ch(16 if cfg.lane_change else 14).astype(jnp.int32) \
+        if not cfg.uniform else None
+    NFC = (inl.shape[0] - 2) // AP   # 14 (+gap,yv LC; +tpl non-uniform)
     il_len = inl[NFC * AP]
 
     g_iota = jnp.arange(G, dtype=jnp.int32)[None, :]

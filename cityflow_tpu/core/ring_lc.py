@@ -101,17 +101,39 @@ def refresh_gaps(net, cfg, rs, fx):
     (engine.cpp:581; gen-1 update_leader_and_gap): fresh gap where a
     leader exists within the scan bound, previous (stale) value
     otherwise. fx = the link-domain front context from
-    ring.lc_front_ctx."""
+    ring.lc_front_ctx. Non-uniform templates: the LEADER's len and MY
+    maxSpeed/usualNegAcc come from per-slot _PP params (the uniform path
+    folds to the same scalar constants, bit-pinned)."""
+    from cityflow_tpu.core.ring import _PP
     f = jnp.float32
-    p_len = cfg.params[1]
-    p_una, p_maxspd = cfg.params[6], cfg.params[8]
-    bound = p_maxspd * p_maxspd / p_una / 2 + p_maxspd * cfg.interval * 2
     LNp, LKp = cfg.LNp, cfg.LKp
+    if cfg.uniform:
+        p_len = cfg.params[1]
+        lead_len = p_len                 # scalar: any leader's len
+        klead_len = p_len
+        etl0 = p_len                     # hop-2 end-lane tail's len
+        k_etl = p_len
+        p_una, p_maxspd = cfg.params[6], cfg.params[8]
+        bound = (p_maxspd * p_maxspd / p_una / 2
+                 + p_maxspd * cfg.interval * 2)
+    else:
+        pp_l = _PP(cfg, net, rs.l_tpl)
+        pp_k = _PP(cfg, net, rs.k_tpl)
+        len_l, len_k = pp_l[1], pp_k[1]
+        # leader of slot s is slot s-1: shift each ring down one slot
+        lead_len = jnp.concatenate(
+            [jnp.zeros((1, LNp), f), len_l[:-1]], axis=0)
+        klead_len = jnp.concatenate(
+            [jnp.zeros((1, LKp), f), len_k[:-1]], axis=0)
+        etl0 = fx["etl"]
+        k_etl = fx["k_etl"]
+        ms0, una0 = pp_l[8][0], pp_l[6][0]      # front-row SELF params
+        bound = ms0 * ms0 / una0 / 2 + ms0 * cfg.interval * 2
 
     # lanes: slots > 0 always have the slot above as leader
     lead_dis = jnp.concatenate(
         [jnp.full((1, LNp), 1e9, f), rs.l_dis[:-1]], axis=0)
-    fresh_mid = lead_dis - p_len - rs.l_dis
+    fresh_mid = lead_dis - lead_len - rs.l_dis
     lane_left0 = net["ln_len"] - rs.l_dis[0]
     # fronts: hop-1 candidates = ALL out-link ring tails of my lane (the
     # vehicle.cpp:170-180 overlap rule; any tail => leader, strict-min);
@@ -121,16 +143,16 @@ def refresh_gaps(net, cfg, rs, fx):
     g1 = lane_left0 + fx["best_val"]
     fresh2 = has_next & ~fx["best_ex"] & fx["ete"] \
         & (lane_left0 + fx["nlen"] <= bound)
-    g2 = lane_left0 + fx["nlen"] + fx["etd"] - p_len
+    g2 = lane_left0 + fx["nlen"] + fx["etd"] - etl0
     gap0 = jnp.where(fresh1, g1, jnp.where(fresh2, g2, rs.l_gap[0]))
     new_l_gap = jnp.concatenate([gap0[None], fresh_mid[1:]], axis=0)
 
     # links: slots > 0 fresh; front fresh iff the end-lane tail exists
     klead = jnp.concatenate(
         [jnp.full((1, LKp), 1e9, f), rs.k_dis[:-1]], axis=0)
-    kfresh = klead - p_len - rs.k_dis
+    kfresh = klead - klead_len - rs.k_dis
     kgap0 = jnp.where(fx["k_ete"],
-                      (net["lk_len"] - rs.k_dis[0]) + fx["k_etd"] - p_len,
+                      (net["lk_len"] - rs.k_dis[0]) + fx["k_etd"] - k_etl,
                       rs.k_gap[0])
     new_k_gap = jnp.concatenate([kgap0[None], kfresh[1:]], axis=0)
     return rs.replace_fields(l_gap=new_l_gap, k_gap=new_k_gap)
@@ -146,11 +168,12 @@ def lc_phase(net, cfg, rs, fx):
     i32 = jnp.int32
     dt = cfg.dt
     SL, LNp = cfg.SL, cfg.LNp
-    p_len = cfg.params[1]
-    p_maxneg = cfg.params[4]
-    p_maxspd = cfg.params[8]
     from cityflow_tpu.core.ring import (
-        no_collision_speed, _hilo, _from_hilo, _pri_gt)
+        no_collision_speed, _hilo, _from_hilo, _pri_gt, _PP)
+    # SELF params per slot (vehicle.h:31-45): scalar constants on the
+    # uniform path (bit-pinned), per-slot _PP arrays on the mixed path
+    pp_s = _PP(cfg, net, None if cfg.uniform else rs.l_tpl)
+    len_s, neg_s, spd_s = pp_s[1], pp_s[4], pp_s[8]
 
     # NOTE: refresh_gaps already ran on the PRE-admission state (the
     # reference computes gaps in the END-of-previous-step
@@ -169,9 +192,11 @@ def lc_phase(net, cfg, rs, fx):
     # ---- neighbor rings (both directions) -------------------------------
     nb = {}
     for d, which in ((1, "outer"), (-1, "inner")):
-        (nb_dis, nb_spd, nb_occf, nb_nf), valid = perm_channels(
-            net, cfg, [dis, speed, occ.astype(f),
-                       rs.n_l.astype(f)], which)
+        nb_ch = [dis, speed, occ.astype(f), rs.n_l.astype(f)]
+        if not cfg.uniform:
+            nb_ch += [len_s, neg_s]        # LEADER len / FOLLOWER negAcc
+        perm, valid = perm_channels(net, cfg, nb_ch, which)
+        nb_dis, nb_spd, nb_occf, nb_nf = perm[:4]
         nb_occ = (nb_occf > 0.5) & valid[None, :]
         nb_n = nb_nf[0].astype(i32)
         # cnt = #{t: nb_dis[t] >= my dis}  (AfterDistance >=,
@@ -185,6 +210,8 @@ def lc_phase(net, cfg, rs, fx):
         lead_dis = jnp.zeros((SL, LNp), f)
         foll_dis = jnp.zeros((SL, LNp), f)
         foll_spd = jnp.zeros((SL, LNp), f)
+        lead_len = jnp.zeros((SL, LNp), f) if not cfg.uniform else None
+        foll_neg = jnp.zeros((SL, LNp), f) if not cfg.uniform else None
         for t in range(SL):
             oh_l = cnt == (t + 1)       # leader slot = cnt - 1
             oh_f = cnt == t             # follower slot = cnt
@@ -193,16 +220,21 @@ def lc_phase(net, cfg, rs, fx):
                                  foll_dis)
             foll_spd = jnp.where(oh_f & foll_ex, nb_spd[t][None, :],
                                  foll_spd)
+            if not cfg.uniform:
+                lead_len = jnp.where(oh_l, perm[4][t][None, :], lead_len)
+                foll_neg = jnp.where(oh_f & foll_ex, perm[5][t][None, :],
+                                     foll_neg)
         nb[d] = dict(valid=valid, cnt=cnt, lead_ex=lead_ex, foll_ex=foll_ex,
-                     lead_dis=lead_dis, foll_dis=foll_dis, foll_spd=foll_spd)
+                     lead_dis=lead_dis, foll_dis=foll_dis, foll_spd=foll_spd,
+                     lead_len=lead_len, foll_neg=foll_neg)
 
     # ---- SimpleLaneChange::makeSignal (lanechange.cpp:151-184) ----------
     mk = occ & ~sh & ~chg & (now >= COOLING_TIME)
     has_signal = mk | (occ & ~sh & chg)
     cur_est = rs.l_gap
-    expected = 2 * p_len + 4 * cfg.interval * p_maxspd
+    expected = 2 * len_s + 4 * cfg.interval * spd_s
     want = mk & (lane_left >= 30) & ~(cur_est > expected) \
-        & ~(cur_est < 1.5 * p_len)
+        & ~(cur_est < 1.5 * len_s)
 
     nxt_out = _sel_llocal(net, rs.l_rnrow, +1)
     nxt_in = _sel_llocal(net, rs.l_rnrow, -1)
@@ -212,18 +244,19 @@ def lc_phase(net, cfg, rs, fx):
     (ln_len_in,), _ = perm_channels(net, cfg, [net["ln_len"]], "inner")
 
     def estimate(d, nb_len):
-        # estimateGap (lanechange.cpp:215-220)
+        # estimateGap (lanechange.cpp:215-220): the LEADER's len
         e = nb[d]
-        return jnp.where(e["lead_ex"], e["lead_dis"] - dis - p_len,
+        l_len = len_s if cfg.uniform else e["lead_len"]
+        return jnp.where(e["lead_ex"], e["lead_dis"] - dis - l_len,
                          nb_len - dis)
 
     outer_ok = want & nb[1]["valid"][None, :] & reach_out
     outer_est = jnp.where(outer_ok, estimate(1, ln_len_out), f(0))
-    dir_new = jnp.where(outer_ok & (outer_est > cur_est + p_len),
+    dir_new = jnp.where(outer_ok & (outer_est > cur_est + len_s),
                         i32(1), i32(0))
     inner_ok = want & nb[-1]["valid"][None, :] & reach_in
     inner_est = estimate(-1, ln_len_in)
-    take_inner = inner_ok & (inner_est > cur_est + p_len) \
+    take_inner = inner_ok & (inner_est > cur_est + len_s) \
         & (inner_est > outer_est)
     dir_new = jnp.where(take_inner, i32(-1), dir_new)
 
@@ -241,35 +274,40 @@ def lc_phase(net, cfg, rs, fx):
     tf_spd = dsel(nb[1]["foll_spd"], nb[-1]["foll_spd"])
     tl_slot = dsel(nb[1]["cnt"], nb[-1]["cnt"]) - 1
     tf_slot = tl_slot + 1
+    tl_len = len_s if cfg.uniform \
+        else dsel(nb[1]["lead_len"], nb[-1]["lead_len"])
+    tf_neg = neg_s if cfg.uniform \
+        else dsel(nb[1]["foll_neg"], nb[-1]["foll_neg"])
 
     rest = lane_left
-    lgap = jnp.where(tl_ex, tl_dis - dis - p_len, rest)
+    lgap = jnp.where(tl_ex, tl_dis - dis - tl_len, rest)
     # no on-lane leader: scan the TARGET lane's out-link ring tails in
     # laneLinks order (running strict-min; "hit" when the min candidate
     # overlaps back into the lane) — lanechange.cpp:33-47
-    olt_o, _ = perm_channels(net, cfg,
-                             [fx["olt_dis"][k] for k in range(cfg.KOUT)]
-                             + [fx["olt_ex"][k].astype(f)
-                                for k in range(cfg.KOUT)], "outer")
-    olt_i, _ = perm_channels(net, cfg,
-                             [fx["olt_dis"][k] for k in range(cfg.KOUT)]
-                             + [fx["olt_ex"][k].astype(f)
-                                for k in range(cfg.KOUT)], "inner")
+    olt_ch = [fx["olt_dis"][k] for k in range(cfg.KOUT)] \
+        + [fx["olt_ex"][k].astype(f) for k in range(cfg.KOUT)]
+    if not cfg.uniform:
+        olt_ch += [fx["olt_len"][k] for k in range(cfg.KOUT)]
+    olt_o, _ = perm_channels(net, cfg, olt_ch, "outer")
+    olt_i, _ = perm_channels(net, cfg, olt_ch, "inner")
     no_tl = ~tl_ex
     best_gap = jnp.full((SL, LNp), jnp.inf, f)
     for k in range(cfg.KOUT):
         c_dis = dsel(olt_o[k], olt_i[k])
         c_ex = dsel(olt_o[cfg.KOUT + k], olt_i[cfg.KOUT + k]) > 0.5
+        c_len = len_s if cfg.uniform \
+            else dsel(olt_o[2 * cfg.KOUT + k], olt_i[2 * cfg.KOUT + k])
         cgap = c_dis + rest
         better = no_tl & c_ex & (cgap < best_gap)
-        hit = better & (cgap < p_len)
-        lgap = jnp.where(hit, rest - (p_len - cgap), lgap)
+        hit = better & (cgap < c_len)
+        lgap = jnp.where(hit, rest - (c_len - cgap), lgap)
         best_gap = jnp.where(better, cgap, best_gap)
-    fgap = jnp.where(tf_ex, dis - tf_dis - p_len, jnp.asarray(jnp.inf, f))
+    fgap = jnp.where(tf_ex, dis - tf_dis - len_s, jnp.asarray(jnp.inf, f))
 
     # gap validity (lanechange.h:80): leader/follower brake distances
-    min_brake = 0.5 * speed * speed / p_maxneg
-    safe_before = jnp.where(tf_ex, 0.5 * tf_spd * tf_spd / p_maxneg, f(0))
+    # (safeGapAfter = MY minBrake, safeGapBefore = the FOLLOWER's)
+    min_brake = 0.5 * speed * speed / neg_s
+    safe_before = jnp.where(tf_ex, 0.5 * tf_spd * tf_spd / tf_neg, f(0))
     gap_valid = (lgap >= min_brake) & (fgap >= safe_before)
 
     # ---- sendSignal / receiveSignal (vehicle.cpp:391-401) ---------------
@@ -281,6 +319,8 @@ def lc_phase(net, cfg, rs, fx):
     ygap = fgap - safe_before                 # sender-side yield gap
     send_ch = [plan.astype(f), dirc.astype(f), tl_slot.astype(f),
                tf_slot.astype(f), prih, pril, speed, ygap]
+    if not cfg.uniform:
+        send_ch.append(neg_s)                 # sender maxNegAcc
     s_in, _ = perm_channels(net, cfg, send_ch, "inner")
     s_out, _ = perm_channels(net, cfg, send_ch, "outer")
     best_h = jnp.full((SL, LNp), -1.0, f)
@@ -288,6 +328,7 @@ def lc_phase(net, cfg, rs, fx):
     best_role_f = jnp.zeros((SL, LNp), bool)
     best_spd = jnp.zeros((SL, LNp), f)
     best_gapv = jnp.zeros((SL, LNp), f)
+    best_sneg = None if cfg.uniform else jnp.ones((SL, LNp), f)
     got = jnp.zeros((SL, LNp), bool)
     my_slot = jnp.broadcast_to(sl_iota.astype(f), (SL, LNp))
     for S, want_dir in ((s_in, 1.0), (s_out, -1.0)):
@@ -304,13 +345,20 @@ def lc_phase(net, cfg, rs, fx):
             best_role_f = jnp.where(better, as_f & ~as_l, best_role_f)
             best_spd = jnp.where(better, S[6][t][None, :], best_spd)
             best_gapv = jnp.where(better, S[7][t][None, :], best_gapv)
+            if not cfg.uniform:
+                best_sneg = jnp.where(better, S[8][t][None, :], best_sneg)
             got = got | cand
     received = occ & ~chg & got \
         & ~(has_signal & ~_pri_gt(best_h, best_l, prih, pril))
 
-    # yieldSpeed for the kept FOLLOWER-role signal (lanechange.cpp:186-206)
-    v_y = no_collision_speed(best_spd, f(p_maxneg), speed, f(p_maxneg),
-                             best_gapv, dt, f(0))
+    # yieldSpeed for the kept FOLLOWER-role signal (lanechange.cpp:186-206):
+    # noCollisionSpeed(srcSpeed, SOURCE maxNegAcc, mySpeed, MY maxNegAcc)
+    if cfg.uniform:
+        v_y = no_collision_speed(best_spd, f(neg_s), speed, f(neg_s),
+                                 best_gapv, dt, f(0))
+    else:
+        v_y = no_collision_speed(best_spd, best_sneg, speed, neg_s,
+                                 best_gapv, dt, f(0))
     v_y = jnp.where(v_y < 0, f(100.0), v_y)
     yv = jnp.where(received & best_role_f, v_y, f(100.0))
 
@@ -389,6 +437,8 @@ def lc_phase(net, cfg, rs, fx):
         "last": rs.l_last.astype(f), "gap": rs.l_gap,
         "dir": dirc.astype(f),
     }
+    if not cfg.uniform:
+        bundle["tpl"] = rs.l_tpl.astype(f)  # shadow copies the template
     for c in range(MR):
         bundle[f"rn{c}"] = rs.l_rnrow[c].astype(f)
         bundle[f"ax{c}"] = rs.l_auxrow[c].astype(f)
@@ -418,6 +468,8 @@ def lc_phase(net, cfg, rs, fx):
         "sh": rs.l_sh, "chg": chg2, "yv": yv,
         "custom": rs.l_custom, "hascustom": rs.l_hascustom,
     }
+    if not cfg.uniform:
+        cur["tpl"] = rs.l_tpl
     for c in range(MR):
         cur[f"rn{c}"] = rs.l_rnrow[c]
         cur[f"ax{c}"] = rs.l_auxrow[c]
@@ -459,6 +511,7 @@ def lc_phase(net, cfg, rs, fx):
             cur[k] = insert(cur[k], v)
         n_cur = n_cur + ex_j.astype(i32)
 
+    tpl_kw = {} if cfg.uniform else dict(l_tpl=cur["tpl"].astype(i32))
     rs = rs.replace_fields(
         n_l=n_cur,
         l_dis=cur["dis"], l_speed=cur["speed"],
@@ -474,7 +527,7 @@ def lc_phase(net, cfg, rs, fx):
         l_rnrow=jnp.stack([cur[f"rn{c}"].astype(i32) for c in range(MR)],
                           axis=0),
         l_auxrow=jnp.stack([cur[f"ax{c}"].astype(i32) for c in range(MR)],
-                           axis=0))
+                           axis=0), **tpl_kw)
     return rs, ov
 
 

@@ -65,6 +65,44 @@ def phase_pressures(net, cfg: RingConfig, rs: RingState, max_phases: int):
     return jnp.stack(out, axis=-1)                             # (G, P)
 
 
+def phase_features(net, cfg: RingConfig, rs: RingState, max_phases: int):
+    """DQN observation kernel (ring twin of dqn.build_intersection_obs):
+    returns (fw, fp, w_up) —
+      fw  (G, P): total waiting on each phase's enabled upstream lanes,
+      fp  (G, P): each phase's pressure (upstream minus downstream),
+      w_up (G,) : total upstream waiting per intersection (reward proxy).
+    Invalid phases contribute 0 (the Q mask handles action validity)."""
+    G, LPI, IL, OL = cfg.G, cfg.LPI, cfg.IL, cfg.OL
+    f = jnp.float32
+    w = lane_waiting_ring(cfg, rs).astype(f)
+    from cityflow_tpu.core.ring import _shifted_exchange
+    if cfg.fwd_shifts:
+        w_in = _shifted_exchange(w[:, None], IL * G, cfg.fwd_shifts,
+                                 net["fwd_gid"], net["fwd_res_j"],
+                                 net["fwd_res_src"])[:, 0]
+    else:
+        src = net["in_src"].reshape(-1)
+        w_in = jnp.where(src >= 0, jnp.take(w, jnp.clip(src, 0)), 0.0)
+    w_in = w_in.reshape(IL, G)
+    w_start = _typed_mm(cfg, net["E_start"], w_in)          # (LPI, G)
+    w_end = _typed_mm(cfg, net["E_end"],
+                      w.reshape(OL, cfg.I)[:, :G])          # (LPI, G)
+    diff = w_start - w_end
+    TP = net["phase_rl_avail"].shape[0]
+    fw, fp = [], []
+    for ph in range(max_phases):
+        row = jnp.clip(net["g_phase_offset"] + ph, 0, TP - 1)
+        avail = jnp.take(net["phase_rl_avail"], row, axis=0)   # (G, MAXRL)
+        lk_avail = _typed_mm(cfg, net["E_rl"], avail.T) > 0.5  # (LPI, G)
+        valid = ph < net["g_n_phases"]
+        fw.append(jnp.where(
+            valid, jnp.sum(jnp.where(lk_avail, w_start, 0.0), axis=0), 0.0))
+        fp.append(jnp.where(
+            valid, jnp.sum(jnp.where(lk_avail, diff, 0.0), axis=0), 0.0))
+    w_up = jnp.sum(w_start, axis=0)                            # (G,)
+    return jnp.stack(fw, axis=-1), jnp.stack(fp, axis=-1), w_up
+
+
 def max_pressure_phases_ring(net, cfg: RingConfig, rs: RingState,
                              max_phases: int):
     """(I,) i32 phase actions (ring intersection order; real inters lead)."""

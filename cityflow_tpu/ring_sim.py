@@ -85,11 +85,6 @@ def build_sim(net: CompiledNet, horizon: int = 512,
     tb, meta = build_ring(net, interval)
     if not meta.supported:
         raise ValueError(f"ring layout unsupported: {meta.unsupported_reason}")
-    if lane_change and not meta.uniform_params:
-        # the LC urgency/benefit formulas are not yet templated; the
-        # Engine falls back to gen-1 for this combination
-        raise ValueError("ring lane change requires uniform vehicle "
-                         "templates (gen-1 covers the general case)")
 
     if meta.uniform_params:
         p = meta.param_row

@@ -119,7 +119,8 @@ class RingVecEnv:
     action/observation contract as CityFlowVecEnv but 15-18x faster on
     grid nets. Actions are (B, I) phase indices in ORIGINAL intersection
     order; lane-indexed observations come back in original lane order.
-    Scope follows the ring layout (laneChange:false, uniform templates)."""
+    Scope follows the ring layout (grid-like nets; lane change and mixed
+    vehicle templates both supported, see compiler/ring_net.py)."""
 
     def __init__(self, config_path: str, batch: int = 64,
                  horizon: int = 4096, lane_slots=None,

@@ -107,3 +107,12 @@ def test_ring_lc_noop_when_disabled():
     # LC channels are not allocated at all on the non-LC path
     assert sim.state.l_sh is None
     assert int(jax.device_get(sim.state.overflow)) == 0
+
+
+def test_ring_lc_matches_gen1_mixed_templates():
+    """Lane change + NON-uniform vehicle templates on the ring (VERDICT
+    r03 next-round 8): the LC urgency/benefit/yield math is templated
+    through the one-hot _PP channel (leader len, follower maxNegAcc,
+    self len/maxSpeed/maxNegAcc), so this combination no longer falls
+    back to gen-1. Three distinct templates on the dense 1x1s net."""
+    _run_compare_lc(_fix("config_1x1s_mixed_lc.json"), 80, sl=12, sk=6)

@@ -1,0 +1,333 @@
+#!/usr/bin/env python3
+"""Ring-layout DQN scaling study (VERDICT r03 weak 6 / next-round 4).
+
+Same shape as tools/scaling_study.py but the env inside every phase is
+the gen-2 RING step (core/ring.py) and the observations are the ring
+kernels (core/ring_observe.phase_features) — so BASELINE config #5's
+learner runs at ring speed. Phases:
+
+  scaling   — weak-scaling table of the ring TRAIN step (obs + eps-greedy
+              + rollforward + TD update) over 1/2/4/8 mesh devices,
+              fixed per-device batch; reports aggregate env-steps/s.
+  dqn-train — train the ring DQN (chunkable via --dqn-state).
+  dqn-eval  — eval trend across training snapshots + final greedy policy
+              vs the ring fixed-time baseline at horizons 300/600 on all
+              three metrics (mean waiting, avg travel time, finished).
+
+On the virtual CPU mesh the scaling table measures sharding overhead
+(the devices share one host core); the same code path shards over ICI
+on a real slice. Writes/merges the JSON report at --out.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="tests/fixtures/config_4x4.json")
+    ap.add_argument("--per-device", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--dqn-iters", type=int, default=192)
+    ap.add_argument("--dqn-total", type=int, default=None)
+    ap.add_argument("--dqn-state", default=None)
+    ap.add_argument("--phase", choices=["all", "scaling", "dqn-train",
+                                        "dqn-eval"], default="all")
+    ap.add_argument("--eval-part", choices=["all", "trend", "final"],
+                    default="all")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="training env batch")
+    ap.add_argument("--lane-slots", type=int, default=None)
+    ap.add_argument("--out", default="ring_scaling_study.json")
+    ap.add_argument("--cpu-mesh", action="store_true", default=None,
+                    help="virtual 8-device CPU mesh (default); pass "
+                         "--tpu to run single-chip on the real device")
+    ap.add_argument("--tpu", dest="cpu_mesh", action="store_false")
+    args = ap.parse_args()
+
+    if args.cpu_mesh or args.cpu_mesh is None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cityflow_tpu.engine import _enable_compilation_cache
+    _enable_compilation_cache()
+    from cityflow_tpu.compiler.net import compile_scenario
+    from cityflow_tpu import ring_sim
+    from cityflow_tpu.core.ring import ring_step
+    from cityflow_tpu.core import ring_observe
+    from cityflow_tpu.rl import ring_dqn
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(here, args.config) \
+        if not os.path.isabs(args.config) else args.config
+    net = compile_scenario(cfg_path)
+    horizon = max(args.steps * 4 + 64, 640)   # evals roll out to 600 steps
+    sim = ring_sim.build_sim(net, horizon=horizon, sl=args.lane_slots)
+    cfg = dataclasses.replace(sim.cfg, rl_traffic_light=True)
+    cfg_ft = dataclasses.replace(sim.cfg, rl_traffic_light=False)
+    tables, q = sim.tables, sim.q
+    max_phases = int(net.n_phases.max()) if net.n_phases.size else 1
+    G, I = cfg.G, cfg.I
+
+    def batch_state(b):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((b,) + x.shape, x.dtype) + x[None]
+            if hasattr(x, "shape") else x, sim.state)
+
+    init_fn, train_step = ring_dqn.make_ring_dqn_train_step(
+        tables, cfg, max_phases)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), max_phases)
+    treedef = jax.tree_util.tree_structure((params, opt_state))
+    target = params
+    key = jax.random.PRNGKey(0)
+
+    # ---- weak scaling of the full TRAIN step ---------------------------
+    rows = []
+    for n_dev in ((1, 2, 4, 8) if args.phase in ("all", "scaling") else ()):
+        if n_dev > len(jax.devices()):
+            break
+        B = args.per_device * n_dev
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("env",))
+        shard = NamedSharding(mesh, P("env"))
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(batch_state(B), shard)
+        step_sh = jax.jit(
+            train_step,
+            in_shardings=(None, repl, repl, repl, shard, None, repl, None),
+            out_shardings=(repl, repl, shard, repl, repl))
+        p1, o1 = jax.device_put(params, repl), jax.device_put(
+            opt_state, repl)
+        t1 = jax.device_put(target, repl)
+        p1, o1, state, k1, _ = step_sh(tables, p1, t1, o1, state, q,
+                                       jax.device_put(key, repl), 0.3)
+        state = jax.block_until_ready(state)
+        t0 = time.time()
+        for _ in range(args.steps):
+            p1, o1, state, k1, _ = step_sh(tables, p1, t1, o1, state, q,
+                                           k1, 0.3)
+        state = jax.block_until_ready(state)
+        dt = time.time() - t0
+        # each train step advances every env by sim_steps_per_action=5
+        rate = B * args.steps * 5 / dt
+        rows.append(dict(devices=n_dev, batch=B,
+                         env_steps_per_s=round(rate, 1),
+                         train_iters_per_s=round(args.steps / dt, 2)))
+        print(f"n={n_dev} B={B}: {rate:.1f} env-steps/s "
+              f"({args.steps / dt:.2f} train-iters/s)", flush=True)
+    if rows:
+        base = rows[0]["env_steps_per_s"] / rows[0]["devices"]
+        for r in rows:
+            r["efficiency_vs_1dev"] = round(
+                r["env_steps_per_s"] / (base * r["devices"]), 3)
+    if args.phase == "scaling":
+        _merge_out(args.out, args, rows, None)
+        print(json.dumps(dict(weak_scaling=rows)))
+        return
+
+    # ---- DQN training (chunkable) ---------------------------------------
+    from cityflow_tpu.rl.dqn import QParams, q_values
+    losses, rewards_tr, snaps, snap_iters = [], [], [], []
+    it0 = 0
+    total = args.dqn_total or args.dqn_iters
+    episode_len = 64
+    target_sync = 10
+    ckpt_every = max(total // 6, 1)
+
+    if args.dqn_state and os.path.exists(args.dqn_state):
+        z = np.load(args.dqn_state)
+        flat = [z[f"t{i}"] for i in range(int(z["n_flat"]))]
+        params, opt_state = jax.tree_util.tree_unflatten(treedef, flat)
+        it0 = int(z["iter"])
+        losses = list(z["losses"])
+        rewards_tr = list(z["rewards"])
+        snap_iters = list(z["snap_iters"])
+        snaps = [QParams(*(z[f"s{j}_{i}"] for i in range(4)))
+                 for j in range(len(snap_iters))]
+        if "key" in z:
+            key = jnp.asarray(z["key"])
+        print(f"resumed {args.dqn_state} at iter {it0}", flush=True)
+
+    if args.phase in ("all", "dqn-train"):
+        print("training ring DQN...", flush=True)
+        st_tr = batch_state(args.batch)
+        step_tr = jax.jit(train_step)
+        for i in range(it0, min(it0 + args.dqn_iters, total)):
+            if i % target_sync == 0:
+                target = params
+            if i % ckpt_every == 0:
+                snaps.append(jax.device_get(params))
+                snap_iters.append(i)
+            if i and i % episode_len == 0:
+                st_tr = batch_state(args.batch)
+            params, opt_state, st_tr, key, m = step_tr(
+                tables, params, target, opt_state, st_tr, q, key,
+                max(0.5 * (0.98 ** i), 0.05))
+            losses.append(float(m["loss"]))
+            rewards_tr.append(float(m["mean_reward"]))
+        it0 = min(it0 + args.dqn_iters, total)
+        if args.dqn_state:
+            flat = jax.tree_util.tree_leaves(
+                jax.device_get((params, opt_state)))
+            save = {f"t{i}": a for i, a in enumerate(flat)}
+            save.update(n_flat=len(flat), iter=it0,
+                        key=jax.device_get(key),
+                        losses=np.asarray(losses),
+                        rewards=np.asarray(rewards_tr),
+                        snap_iters=np.asarray(snap_iters))
+            for j, s in enumerate(snaps):
+                for i_, a in enumerate(s):
+                    save[f"s{j}_{i_}"] = np.asarray(a)
+            np.savez(args.dqn_state, **save)
+            print(f"saved {args.dqn_state} at iter {it0}", flush=True)
+        if args.phase == "dqn-train":
+            print(json.dumps(dict(trained_to=it0, total=total)))
+            return
+
+    snaps.append(jax.device_get(params))
+    snap_iters.append(it0)
+
+    obs_fn, _ = ring_dqn.build_ring_intersection_obs(cfg, max_phases)
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(3,))
+    def one_dqn(tables_a, st, p, act):
+        if act:
+            obs, _ = jax.vmap(obs_fn, in_axes=(None, 0))(tables_a, st)
+            qv = jax.vmap(lambda o: q_values(p, o))(obs)
+            mask = (jnp.arange(qv.shape[-1])[None, :]
+                    < jnp.maximum(tables_a["g_n_phases"], 1)[:, None])
+            acts = jnp.argmax(jnp.where(mask[None], qv, -jnp.inf),
+                              axis=-1).astype(jnp.int32)
+            phases = jnp.concatenate(
+                [acts, jnp.zeros((acts.shape[0], I - G), jnp.int32)],
+                axis=1)
+            st = st.replace_fields(phase=phases)
+        st2 = jax.vmap(lambda s: ring_step.__wrapped__(
+            tables_a, cfg, s, q))(st)
+        w = jax.vmap(lambda s: ring_observe.lane_waiting_ring(
+            cfg, s).astype(jnp.float32))(st2)
+        return st2, jnp.sum(w)
+
+    @jax.jit
+    def one_ft(tables_a, st):
+        st2 = jax.vmap(lambda s: ring_step.__wrapped__(
+            tables_a, cfg_ft, s, q))(st)
+        w = jax.vmap(lambda s: ring_observe.lane_waiting_ring(
+            cfg_ft, s).astype(jnp.float32))(st2)
+        return st2, jnp.sum(w)
+
+    def eval_policy(p, horizon):
+        use_dqn = p is not None
+        st = batch_state(8)
+        tot = 0.0
+        for i in range(horizon):
+            if use_dqn:
+                st, w = one_dqn(tables, st, p, i % 5 == 0)
+            else:
+                st, w = one_ft(tables, st)
+            tot += float(w)
+        att = float(jnp.mean(st.cum_travel
+                             / jnp.maximum(st.finished_cnt, 1)))
+        return tot / horizon, att, int(jnp.sum(st.finished_cnt))
+
+    trend = []
+    if args.eval_part in ("all", "trend"):
+        for it, sp in zip(snap_iters, snaps):
+            w, att, fin = eval_policy(sp, 300)
+            trend.append(dict(iter=int(it), mean_waiting=round(w, 2),
+                              avg_travel_time=round(att, 2), finished=fin))
+            print(f"trend iter={it}: wait={w:.1f} att={att:.1f} fin={fin}",
+                  flush=True)
+
+    evals = []
+    if args.eval_part in ("all", "final"):
+        final = snaps[-1]
+        for H in (300, 600):
+            dqn_wait, dqn_att, dqn_fin = eval_policy(final, H)
+            ft_wait, ft_att, ft_fin = eval_policy(None, H)
+            evals.append(dict(
+                horizon=H,
+                dqn=dict(mean_waiting=round(dqn_wait, 2),
+                         avg_travel_time=round(dqn_att, 2),
+                         finished=dqn_fin),
+                fixed_time=dict(mean_waiting=round(ft_wait, 2),
+                                avg_travel_time=round(ft_att, 2),
+                                finished=ft_fin),
+                beats=dict(waiting=bool(dqn_wait < ft_wait),
+                           travel_time=bool(dqn_att < ft_att),
+                           finished=bool(dqn_fin >= ft_fin))))
+            print(json.dumps(evals[-1]), flush=True)
+
+    def sub(xs, k=12):
+        stride = max(1, len(xs) // k)
+        return [round(x, 4) for x in xs[::stride]]
+
+    half = len(losses) // 2
+    dqn_part = dict(
+        layout="ring",
+        iters=it0,
+        target_sync=target_sync, episode_len=episode_len,
+        optimizer="adam+clip5, double-DQN, huber",
+        obs="ring per-phase [waiting, pressure] + phase one-hot "
+            "(core/ring_observe.phase_features)",
+        loss_curve=sub(losses), reward_curve=sub(rewards_tr),
+        loss_first_half_mean=round(sum(losses[:half]) / max(half, 1), 4),
+        loss_second_half_mean=round(
+            sum(losses[half:]) / max(len(losses) - half, 1), 4))
+    if trend:
+        dqn_part["eval_trend"] = trend
+    if evals:
+        dqn_part.update(
+            evals=evals,
+            beats_fixed_time=bool(all(
+                e["beats"]["waiting"] and e["beats"]["travel_time"]
+                and e["beats"]["finished"] for e in evals)),
+            beats_on_waiting_only=bool(all(e["beats"]["waiting"]
+                                           for e in evals)))
+
+    _merge_out(args.out, args, rows, dqn_part)
+    print(json.dumps(dict(weak_scaling=rows,
+                          dqn=dqn_part.get("beats_fixed_time"))))
+
+
+def _merge_out(out_path, args, rows, dqn_part):
+    doc = dict(kind="ring_scaling_study",
+               config=args.config,
+               mesh="virtual-cpu" if args.cpu_mesh is not False else "real",
+               note=("env inside the train step is the gen-2 ring "
+                     "(core/ring.py); virtual CPU devices share host "
+                     "cores, so the scaling table measures sharding "
+                     "overhead — real ICI uses the same code path."))
+    old = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            old = {}
+    doc["weak_scaling"] = rows or old.get("weak_scaling", [])
+    old_dqn = old.get("dqn") or {}
+    if dqn_part and old_dqn:
+        doc["dqn"] = {**old_dqn, **dqn_part}
+    else:
+        doc["dqn"] = dqn_part or old_dqn or None
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
