@@ -48,7 +48,6 @@ def make_ring_dqn_train_step(tables, cfg, max_phases: int,
     obs_fn, obs_dim = build_ring_intersection_obs(cfg, max_phases)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
     G, I = cfg.G, cfg.I
-    n_phases_host = None  # resolved lazily from tables inside the jit
 
     def masked_q(tables_a, p, obs):
         q = q_values(p, obs)                                 # (G, A)

@@ -9,12 +9,28 @@ reimplemented on xml.etree so it runs without SUMO's python tools:
   cityflow -> sumo:  --cityflownet roadnet.json --sumonet out.net.xml
                      (plain-node skeleton; import into netconvert/netedit)
 
-Scope notes vs the reference converter:
-- edges with internal function and pedestrian-only lanes are skipped;
-- connection directions map s/t/l/r/L/R to go_straight / turn_left /
-  turn_right (partial turns treated as their main direction);
-- traffic-light programs become single all-green phases unless tlLogic
-  is present, in which case green-phase masks are derived per connection.
+Parity notes vs the reference converter_v2.py:
+- pedestrian/bike-only lanes are dropped with a per-edge original->kept
+  index map, so connections on real-world nets (sidewalks, bike lanes)
+  keep pointing at the right car lanes;
+- connection directions map s/l/r/L/R as the reference does
+  (LINKDIR_PARTLEFT/PARTRIGHT -> their main direction,
+  converter_v2.py:163-170) and "t" (u-turn) becomes U_TURN_AS
+  (default turn_left, converter_v2.py:149,467-468; --u-turn-as);
+- laneLink geometry: the reference emits a 2-point "flight mode" path
+  (start-lane end, end-lane start; converter_v2.py:476-486); we emit
+  that pair and, when the connection has a `via` internal lane, the
+  internal lane's real shape in between (following internal-to-internal
+  chains), so curves survive the conversion;
+- tlLogic: programs are collected per (tls id, programID); the program
+  picked is --tl-program (default "0", the reference's hardcoded choice,
+  converter_v2.py:526), falling back to the first defined. Joined TLS
+  ("GS_"-prefixed ids, converter_v2.py:521-522) resolve through the
+  connections' own tl= attribute. Green chars are G/g/s as in the
+  reference (converter_v2.py:530). A roadLink is available in a phase
+  iff ALL its connections are green (stricter than the reference's
+  any-connection-from-the-start-lane rule, which over-opens turn lanes
+  sharing a head lane with a green through movement).
 """
 
 import argparse
@@ -34,7 +50,16 @@ def _parse_shape(s):
     return pts
 
 
-def sumo_to_cityflow(net_xml, out_json):
+def _is_car_lane(ln):
+    allow = ln.get("allow", "")
+    disallow = ln.get("disallow", "")
+    if allow:
+        return "passenger" in allow or "private" in allow or "all" in allow
+    return "all" not in disallow and "passenger" not in disallow
+
+
+def sumo_to_cityflow(net_xml, out_json, u_turn_as="turn_left",
+                     tl_program="0"):
     tree = ET.parse(net_xml)
     root = tree.getroot()
 
@@ -53,26 +78,32 @@ def sumo_to_cityflow(net_xml, out_json):
             "virtual": j.get("type") in ("dead_end", "unregulated") or True,
         }
 
-    # edges -> roads
+    # edges -> roads; internal edges -> lane-shape table for laneLink
+    # geometry (the reference's sumolib keeps them as net internals)
     roads = {}
-    edge_lanes = {}
+    kept_lane_idx = {}      # edge id -> {sumo lane index -> kept position}
+    internal_shape = {}     # internal lane id -> [point dict]
     for e in root.iter("edge"):
         if e.get("function") == "internal":
+            for ln in e.findall("lane"):
+                if ln.get("shape"):
+                    internal_shape[ln.get("id")] = _parse_shape(
+                        ln.get("shape"))
             continue
         frm, to = e.get("from"), e.get("to")
         if frm not in junctions or to not in junctions:
             continue
         lanes = []
-        lane_order = []
+        keep = {}
+        lane_shapes = []
         for ln in e.findall("lane"):
-            allow = ln.get("allow", "")
-            disallow = ln.get("disallow", "")
-            if allow and "passenger" not in allow and "private" not in allow:
-                continue
+            if not _is_car_lane(ln):
+                continue        # sidewalk / bike lane: drop + remap below
+            keep[int(ln.get("index", len(keep)))] = len(lanes)
             lanes.append({
                 "width": float(ln.get("width", DEFAULT_LANE_WIDTH)),
                 "maxSpeed": float(ln.get("speed", 13.89))})
-            lane_order.append(ln.get("id"))
+            lane_shapes.append(_parse_shape(ln.get("shape", "")) or None)
         if not lanes:
             continue
         shape = e.get("shape")
@@ -88,15 +119,33 @@ def sumo_to_cityflow(net_xml, out_json):
             "lanes": lanes[::-1],
             "startIntersection": "intersection_" + frm,
             "endIntersection": "intersection_" + to,
+            "_lane_shapes": lane_shapes,     # kept order, stripped below
         }
-        edge_lanes[e.get("id")] = lane_order[::-1]
+        kept_lane_idx[e.get("id")] = keep
         junctions[frm]["roads"].append(rid)
         junctions[to]["roads"].append(rid)
 
-    # connections -> roadLinks grouped by (from edge, to edge, direction);
-    # keep each connection's tlLogic link index for phase conversion
-    DIRMAP = {"s": "go_straight", "t": "turn_left", "l": "turn_left",
+    # connections -> roadLinks grouped by (from edge, to edge, direction),
+    # the reference's group_connections_by_start_end
+    # (converter_v2.py:261-270); keep each connection's tl id + link index
+    # for phase conversion and its via lane for geometry
+    # "t" keeps its own group key so a u-turn roadLink stays separate
+    # from a real left turn between the same edge pair (the reference
+    # groups by raw direction, then renames turn_u -> U_TURN_AS,
+    # converter_v2.py:459-468)
+    DIRMAP = {"s": "go_straight", "t": "turn_u", "l": "turn_left",
               "r": "turn_right", "L": "turn_left", "R": "turn_right"}
+    via_of = {}             # (from lane id, to edge) -> via internal lane
+    next_via = {}           # internal lane id -> next internal lane id
+    for c in root.iter("connection"):
+        via = c.get("via")
+        fe = c.get("from", "")
+        key_lane = f'{fe}_{c.get("fromLane")}'
+        if via:
+            if fe.startswith(":"):
+                next_via[key_lane] = via
+            else:
+                via_of[(key_lane, c.get("to"))] = via
     groups = defaultdict(list)
     for c in root.iter("connection"):
         fe, te = c.get("from"), c.get("to")
@@ -104,11 +153,24 @@ def sumo_to_cityflow(net_xml, out_json):
             continue
         d = DIRMAP.get(c.get("dir", "s"), "go_straight")
         li = c.get("linkIndex")
+        fl, tl = int(c.get("fromLane")), int(c.get("toLane"))
+        if fl not in kept_lane_idx[fe] or tl not in kept_lane_idx[te]:
+            continue        # connection from/to a dropped non-car lane
         groups[(fe, te, d)].append(
-            (int(c.get("fromLane")), int(c.get("toLane")),
-             c.get("tl"), int(li) if li is not None else -1))
+            (kept_lane_idx[fe][fl], kept_lane_idx[te][tl],
+             c.get("tl"), int(li) if li is not None else -1,
+             via_of.get((f"{fe}_{fl}", te))))
 
-    rl_tl_links = defaultdict(list)     # junction id -> [set(linkIndex)]
+    def _via_points(via):
+        """Follow an internal-lane chain and concatenate its shapes."""
+        pts, seen = [], set()
+        while via and via in internal_shape and via not in seen:
+            seen.add(via)
+            pts.extend(internal_shape[via])
+            via = next_via.get(via)
+        return pts
+
+    rl_tl_links = defaultdict(list)     # junction id -> [set((tl, idx))]
     for (fe, te, d), pairs in groups.items():
         frm_j = roads[fe]["endIntersection"][len("intersection_"):]
         j = junctions.get(frm_j)
@@ -116,44 +178,79 @@ def sumo_to_cityflow(net_xml, out_json):
             continue
         n_from = len(roads[fe]["lanes"])
         n_to = len(roads[te]["lanes"])
+        from_shapes = roads[fe]["_lane_shapes"]
+        to_shapes = roads[te]["_lane_shapes"]
         lls = []
         link_idx = set()
-        for fl, tl, tlid, li in pairs:
+        for fl, tl, tlid, li, via in pairs:
             # reverse lane indexing (see above)
             sfl, stl = n_from - 1 - fl, n_to - 1 - tl
-            if 0 <= sfl < n_from and 0 <= stl < n_to:
-                lls.append({"startLaneIndex": sfl, "endLaneIndex": stl,
-                            "points": []})
-                if li >= 0:
-                    link_idx.add(li)
+            if not (0 <= sfl < n_from and 0 <= stl < n_to):
+                continue
+            # geometry: reference "flight mode" endpoints
+            # (converter_v2.py:476-486) + the via internal-lane shape
+            pts = []
+            if from_shapes[fl]:
+                pts.append(from_shapes[fl][-1])
+            pts.extend(_via_points(via))
+            if to_shapes[tl]:
+                pts.append(to_shapes[tl][0])
+            lls.append({"startLaneIndex": sfl, "endLaneIndex": stl,
+                        "points": pts})
+            if li >= 0:
+                link_idx.add((tlid, li))
         if not lls:
             continue
         j["trafficLight"]["roadLinkIndices"].append(len(j["roadLinks"]))
         j["roadLinks"].append({
-            "type": d, "startRoad": roads[fe]["id"],
+            "type": u_turn_as if d == "turn_u" else d,
+            "startRoad": roads[fe]["id"],
             "endRoad": roads[te]["id"], "laneLinks": lls})
         rl_tl_links[frm_j].append(link_idx)
         j["virtual"] = False
 
     # traffic lights: convert tlLogic programs (reference
-    # converter_v2.py:650-800 equivalent). A roadLink is available in a
-    # phase iff every one of its connections shows G/g in the state string;
-    # yellow/red phases become restrictive phases. Junctions without a
-    # tlLogic keep a single all-green phase.
-    tls = {t.get("id"): t for t in root.iter("tlLogic")}
+    # converter_v2.py:513-554). Programs are grouped per tls id; the
+    # program of record is `tl_program` ("0" in the reference,
+    # converter_v2.py:526), else the first defined. The tls that controls
+    # a junction is resolved through its connections' tl= attributes, so
+    # joined TLS ("GS_" ids) and shared programs both work. A roadLink is
+    # available in a phase iff every one of its connections shows G/g/s
+    # (converter_v2.py:530); yellow/red phases become restrictive phases.
+    # Junctions without a tlLogic keep a single all-green phase.
+    tls_programs = defaultdict(dict)    # tls id -> {programID: element}
+    for t in root.iter("tlLogic"):
+        tls_programs[t.get("id")][t.get("programID", "0")] = t
+
+    def _pick_program(tlid):
+        progs = tls_programs.get(tlid)
+        if not progs:
+            return None
+        if tl_program in progs:
+            return progs[tl_program]
+        return next(iter(progs.values()))
+
     for jid, j in junctions.items():
         n = len(j["roadLinks"])
         if not n:
             continue
         phases = []
-        tl = tls.get(jid)
+        # tls ids actually referenced by this junction's connections
+        # (handles GS_-joined ids without name guessing)
+        tl_ids = {tlid for links in rl_tl_links.get(jid, [])
+                  for tlid, _ in links if tlid}
+        tl = None
+        if tl_ids:
+            tl = _pick_program(sorted(tl_ids)[0])
+        if tl is None:      # fall back to name match as the reference does
+            tl = _pick_program(jid) or _pick_program("GS_" + jid)
         if tl is not None and any(rl_tl_links.get(jid, [])):
             for ph in tl.findall("phase"):
                 state = ph.get("state", "")
                 avail = []
                 for ri, links in enumerate(rl_tl_links[jid]):
-                    if links and all(li < len(state) and state[li] in "Gg"
-                                     for li in links):
+                    if links and all(li < len(state) and state[li] in "Ggs"
+                                     for _, li in links):
                         avail.append(ri)
                 phases.append({"time": float(ph.get("duration", 30)),
                                "availableRoadLinks": avail})
@@ -165,6 +262,8 @@ def sumo_to_cityflow(net_xml, out_json):
                 if not ll["points"]:
                     del ll["points"]
 
+    for r in roads.values():
+        del r["_lane_shapes"]
     doc = {"intersections": list(junctions.values()),
            "roads": list(roads.values())}
     json.dump(doc, open(out_json, "w"), indent=1)
@@ -373,6 +472,13 @@ def main():
     ap.add_argument("--cityflowflow")
     ap.add_argument("--reverse", action="store_true",
                     help="cityflow -> sumo plain XML")
+    ap.add_argument("--u-turn-as", default="turn_left",
+                    choices=["turn_left", "go_straight", "turn_right"],
+                    help="roadLink type for dir='t' connections "
+                         "(reference U_TURN_AS, converter_v2.py:149)")
+    ap.add_argument("--tl-program", default="0",
+                    help="tlLogic programID to convert (reference "
+                         "hardcodes '0', converter_v2.py:526)")
     args = ap.parse_args()
     if args.reverse:
         if args.cityflownet and args.sumonet:
@@ -380,7 +486,9 @@ def main():
         if args.cityflowflow and args.sumoflow:
             cityflow_flow_to_sumo(args.cityflowflow, args.sumoflow)
         return
-    edge_map = sumo_to_cityflow(args.sumonet, args.cityflownet)
+    edge_map = sumo_to_cityflow(args.sumonet, args.cityflownet,
+                                u_turn_as=args.u_turn_as,
+                                tl_program=args.tl_program)
     if args.sumoflow and args.cityflowflow:
         sumo_flow_to_cityflow(args.sumoflow, edge_map, args.cityflowflow)
 
