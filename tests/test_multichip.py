@@ -49,7 +49,6 @@ def _build(max_vehicles=512, horizon=48):
     return net, net_dev, cfg, st0, spawn_dev
 
 
-@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_eight_devices_bitwise_equals_one():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -80,7 +79,6 @@ def test_sharded_eight_devices_bitwise_equals_one():
         np.testing.assert_array_equal(x, y)
 
 
-@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_ring_sharded_eight_devices_bitwise_equals_one():
     """Same property for the gen-2 ring layout."""

@@ -12,7 +12,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "multihost_worker.py")
@@ -44,7 +43,6 @@ def _run_workers(nproc, ndev_glob, tag, timeout=900):
     return [json.load(open(o)) for o in outs]
 
 
-@pytest.mark.slow
 def test_two_process_matches_single_process_bitwise():
     single = _run_workers(1, 8, "sp")[0]
     multi = _run_workers(2, 8, "mp")
