@@ -26,13 +26,17 @@ int main(int argc, char **argv) {
     std::string config = argv[1];
     int steps = atoi(argv[2]);
     int threads = 1, every = 1;
-    bool staticOnly = false;
+    bool staticOnly = false, aggOnly = false;
     const char *phasesFile = nullptr;
     for (int i = 3; i < argc; i++) {
         if (!strcmp(argv[i], "--threads")) threads = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--every")) every = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--static-only")) staticOnly = true;
         else if (!strcmp(argv[i], "--phases")) phasesFile = argv[++i];
+        // per-step cnt+att only (empty vehicles array): the aggregate
+        // parity mode (tools/oracle_parity.py --mode aggregate) needs no
+        // per-vehicle records, and at 30x30 those dominate the dump cost
+        else if (!strcmp(argv[i], "--agg-only")) aggOnly = true;
     }
 
     // RL-phase schedule: text lines "t intersection_id phase"; applied via
@@ -111,16 +115,18 @@ int main(int argc, char **argv) {
         eng.nextStep();
         if ((t + 1) % every != 0) continue;
         printf("{\"type\":\"step\",\"t\":%d,\"vehicles\":[", t + 1);
-        bool vf = true;
-        auto dists = eng.getVehicleDistance();   // full-precision doubles
-        auto speeds = eng.getVehicleSpeed();
-        for (const auto &vid : eng.getVehicles(false)) {
-            auto info = eng.getVehicleInfo(vid);
-            if (!vf) printf(","); vf = false;
-            printf("{\"id\":\"");
-            printEsc(vid);
-            printf("\",\"drv\":\"%s\",\"dis\":%.17g,\"speed\":%.17g}",
-                   info["drivable"].c_str(), dists[vid], speeds[vid]);
+        if (!aggOnly) {
+            bool vf = true;
+            auto dists = eng.getVehicleDistance();   // full-precision doubles
+            auto speeds = eng.getVehicleSpeed();
+            for (const auto &vid : eng.getVehicles(false)) {
+                auto info = eng.getVehicleInfo(vid);
+                if (!vf) printf(","); vf = false;
+                printf("{\"id\":\"");
+                printEsc(vid);
+                printf("\",\"drv\":\"%s\",\"dis\":%.17g,\"speed\":%.17g}",
+                       info["drivable"].c_str(), dists[vid], speeds[vid]);
+            }
         }
         printf("],\"cnt\":%zu,\"att\":%.17g}\n", eng.getVehicleCount(), eng.getAverageTravelTime());
     }
