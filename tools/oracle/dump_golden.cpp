@@ -26,6 +26,7 @@ int main(int argc, char **argv) {
     std::string config = argv[1];
     int steps = atoi(argv[2]);
     int threads = 1, every = 1;
+    int fromStep = 0;   // emit step records only for t in (fromStep, steps]
     bool staticOnly = false, aggOnly = false;
     const char *phasesFile = nullptr;
     for (int i = 3; i < argc; i++) {
@@ -37,6 +38,10 @@ int main(int argc, char **argv) {
         // parity mode (tools/oracle_parity.py --mode aggregate) needs no
         // per-vehicle records, and at 30x30 those dominate the dump cost
         else if (!strcmp(argv[i], "--agg-only")) aggOnly = true;
+        // chunking: simulate from 0 but only emit records for steps in
+        // (--from, steps]; bounds per-file size for hundreds-of-MB
+        // per-vehicle dumps at 30x30 (second arg remains the end step)
+        else if (!strcmp(argv[i], "--from")) fromStep = atoi(argv[++i]);
     }
 
     // RL-phase schedule: text lines "t intersection_id phase"; applied via
@@ -113,6 +118,7 @@ int main(int argc, char **argv) {
             cmdIdx++;
         }
         eng.nextStep();
+        if (t + 1 <= fromStep) continue;
         if ((t + 1) % every != 0) continue;
         printf("{\"type\":\"step\",\"t\":%d,\"vehicles\":[", t + 1);
         if (!aggOnly) {
@@ -128,7 +134,11 @@ int main(int argc, char **argv) {
                        info["drivable"].c_str(), dists[vid], speeds[vid]);
             }
         }
-        printf("],\"cnt\":%zu,\"att\":%.17g}\n", eng.getVehicleCount(), eng.getAverageTravelTime());
+        // cntw = active + waiting-buffer vehicles: distinguishes a
+        // late-admission wave (cnt dips, cntw steady) from an early-finish
+        // wave (both dip) when diagnosing aggregate drift vs the fast path
+        printf("],\"cnt\":%zu,\"cntw\":%zu,\"att\":%.17g}\n", eng.getVehicleCount(),
+               eng.getVehicles(true).size(), eng.getAverageTravelTime());
     }
     auto t1 = std::chrono::steady_clock::now();
     fprintf(stderr, "steps=%d wall=%.3fs steps_per_sec=%.1f\n", steps,
