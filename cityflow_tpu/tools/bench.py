@@ -57,6 +57,9 @@ def run_ring(args, net, batch):
         ring_step_batched, ring_step_p1_batched, ring_step_p2_batched)
 
     t0 = time.time()
+    # the spawn horizon (and so the q-table shapes) is prebuilt to the
+    # FULL step budget; the timed region then sizes itself to
+    # --min-seconds without changing any compiled shape
     sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
                              sl=args.lane_slots)
     build_s = time.time() - t0
@@ -80,30 +83,40 @@ def run_ring(args, net, batch):
     t0 = time.time()
     bstate = jax.block_until_ready(step_b(bstate))
     compile_s = time.time() - t0
-    for _ in range(args.warmup - 1):
+    t0 = time.time()
+    for _ in range(max(args.warmup - 1, 1)):
         bstate = step_b(bstate)
     bstate = jax.block_until_ready(bstate)
+    est = (time.time() - t0) / max(args.warmup - 1, 1)
+    # timed window: at least --min-seconds of wall clock (VERDICT r04
+    # weak 3: a 24 ms window is not a measurement), bounded by the
+    # prebuilt spawn horizon; per-step cost is shape-bound, so running
+    # deeper into the (denser) scenario is the honest long window
+    steps = int(args.steps)
+    if args.min_seconds:
+        steps = min(steps, max(64, int(args.min_seconds / max(est, 1e-7))))
     t0 = time.time()
     s = bstate
-    for _ in range(args.steps):
+    for _ in range(steps):
         s = step_b(s)
     s = jax.block_until_ready(s)
     dt = time.time() - t0
     ov = int(jnp.max(s.overflow))
     veh = int(jnp.sum(s.n_l[0]) + jnp.sum(s.n_k[0]))
-    return dt, ov, veh, build_s, compile_s
+    return dt, ov, veh, build_s, compile_s, steps
 
 
 def _is_oom(e) -> bool:
     return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
 
 
-def run_ring_ladder(args, net):
-    """Try the ring layout at args.batch, halving the batch on device OOM
-    until it fits (floor 1). Returns (result_tuple, batch_used)."""
+def run_ring_ladder(args, net, batch=None):
+    """Try the ring layout at `batch` (default args.batch), halving the
+    batch on device OOM until it fits (floor 1). Returns
+    (result_tuple, batch_used)."""
     import gc
     import jax
-    batch = args.batch
+    batch = args.batch if batch is None else batch
     while True:
         try:
             return run_ring(args, net, batch), batch
@@ -185,17 +198,22 @@ def run_gen1(args, net, batch):
     t0 = time.time()
     state = jax.block_until_ready(step_b(state))
     compile_s = time.time() - t0
-    for _ in range(args.warmup - 1):
+    t0 = time.time()
+    for _ in range(max(args.warmup - 1, 1)):
         state = step_b(state)
     state = jax.block_until_ready(state)
+    est = (time.time() - t0) / max(args.warmup - 1, 1)
+    steps = int(args.steps)
+    if args.min_seconds:
+        steps = min(steps, max(64, int(args.min_seconds / max(est, 1e-7))))
     t0 = time.time()
-    for _ in range(args.steps):
+    for _ in range(steps):
         state = step_b(state)
     state = jax.block_until_ready(state)
     dt = time.time() - t0
     ov = int(jnp.max(state.overflow))
     veh = int(jnp.sum(state.active[0]))
-    return dt, ov, veh, 0.0, compile_s
+    return dt, ov, veh, 0.0, compile_s, steps
 
 
 def main():
@@ -205,7 +223,13 @@ def main():
                     default="auto",
                     help="gen-2 ring (fast path) or gen-1 slot pool")
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=6144,
+                    help="step BUDGET for the timed window (the spawn "
+                         "horizon is prebuilt to cover it); the window "
+                         "sizes itself to --min-seconds within this")
+    ap.add_argument("--min-seconds", type=float, default=2.0,
+                    help="minimum timed-window wall clock; 0 = run "
+                         "exactly --steps")
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--lane-slots", type=int, default=40,
                     help="ring lane capacity; 40 = jam capacity, the "
@@ -213,6 +237,12 @@ def main():
                          "16x16/30x30 (artifacts/ring_fid_*.json)")
     ap.add_argument("--max-vehicles", type=int, default=4096)
     ap.add_argument("--ref-steps-per-s", type=float, default=None)
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of batch sizes (e.g. 64,256,1024,"
+                         "4096): run each through the OOM ladder, write "
+                         "the table to --sweep-out, print the headline "
+                         "line for the best batch")
+    ap.add_argument("--sweep-out", default="SCALING_BATCH.json")
     args = ap.parse_args()
 
     import jax
@@ -239,39 +269,75 @@ def main():
             break
     ref = args.ref_steps_per_s or REF_1T.get(scen, 67.0)
 
-    layout = args.layout
-    batch_used = args.batch
-    if layout in ("ring", "auto"):
-        try:
-            (dt, ov, veh, build_s, compile_s), batch_used = \
-                run_ring_ladder(args, net)
-            layout = "ring"
-        except (ValueError, jax.errors.JaxRuntimeError):
-            # ValueError: ring layout can't express this scenario;
-            # JaxRuntimeError: OOM even at the smallest ladder batch.
-            if args.layout == "ring":
-                raise
-            layout = "gen1"
-    if layout == "gen1":
-        dt, ov, veh, build_s, compile_s = run_gen1(args, net, batch_used)
-
-    env_steps = batch_used * args.steps
-    rate = env_steps / dt
     baseline = ref * 8  # 8-thread reference proxy
-    print(json.dumps({
-        "metric": f"env_steps_per_sec_{scen}",
-        "value": round(rate, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(rate / baseline, 2),
-        "layout": layout,
-        "batch": batch_used, "steps": args.steps,
-        "ms_per_batched_step": round(dt * 1000 / args.steps, 2),
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]).split(":")[0],
-        "overflow_flags": ov,
-        "vehicles_per_env": veh,
-        "seconds": round(dt, 3),
-    }))
+
+    def run_once(batch):
+        layout = args.layout
+        batch_used = batch
+        if layout in ("ring", "auto"):
+            try:
+                (dt, ov, veh, build_s, compile_s, steps), batch_used = \
+                    run_ring_ladder(args, net, batch)
+                layout = "ring"
+            except (ValueError, jax.errors.JaxRuntimeError):
+                # ValueError: ring layout can't express this scenario;
+                # JaxRuntimeError: OOM even at the smallest ladder batch.
+                if args.layout == "ring":
+                    raise
+                layout = "gen1"
+        if layout == "gen1":
+            dt, ov, veh, build_s, compile_s, steps = run_gen1(
+                args, net, batch_used)
+        rate = batch_used * steps / dt
+        return {
+            "metric": f"env_steps_per_sec_{scen}",
+            "value": round(rate, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(rate / baseline, 2),
+            "layout": layout,
+            "batch": batch_used, "steps": steps,
+            "ms_per_batched_step": round(dt * 1000 / steps, 2),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]).split(":")[0],
+            "overflow_flags": ov,
+            "vehicles_per_env": veh,
+            "seconds": round(dt, 3),
+        }
+
+    if args.sweep:
+        rows, attempted = [], []
+        for b in [int(x) for x in args.sweep.split(",")]:
+            if rows and b <= rows[-1]["batch"]:
+                # the ladder already walked down through this size
+                continue
+            attempted.append(b)
+            r = run_once(b)
+            r["batch_requested"] = b
+            rows.append(r)
+            print(json.dumps(r), file=sys.stderr, flush=True)
+        best = max(rows, key=lambda r: r["value"])
+        knee = None
+        for prev, cur in zip(rows, rows[1:]):
+            if cur["value"] < prev["value"] * 1.1:
+                knee = prev["batch"]
+                break
+        doc = {"kind": "batch_scaling_sweep", "config": args.config,
+               "device": best["device"],
+               "batches_attempted": attempted,
+               "rows": rows, "best_batch": best["batch"],
+               "saturation_knee_batch": knee if knee is not None
+               else best["batch"],
+               "note": ("env-steps/s per batch size; each row's timed "
+                        "window is >= --min-seconds of wall clock; a "
+                        "requested batch that OOMs reports the largest "
+                        "halved batch that fits (batch vs "
+                        "batch_requested)")}
+        with open(args.sweep_out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps(best))
+        return
+
+    print(json.dumps(run_once(args.batch)))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--config", default="benchmarks/config_30x30.json")
     ap.add_argument("--sl", type=int, default=40)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=6144,
+                    help="bench.py --steps budget to mirror (the spawn "
+                         "horizon sets the q-table shapes => cache key)")
+    ap.add_argument("--warmup", type=int, default=8)
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -41,7 +45,8 @@ def main():
         else os.path.join(here, args.config)
     net = compile_scenario(cfg_path)
     t0 = time.time()
-    sim = ring_sim.build_sim(net, horizon=8 + 64 + 8, sl=args.sl)
+    sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
+                             sl=args.sl)
     print(f"build {time.time()-t0:.1f}s lc={sim.cfg.lane_change}",
           flush=True)
     B = args.batch
