@@ -18,8 +18,9 @@ docs/design.md:
 
 Scope (checked at build time by compiler/ring_net.py): lane lengths above
 the leader-scan bound; lane change and non-uniform vehicle templates are
-both supported (but not yet together — that combination falls back to
-gen-1). Non-uniform templates ride as a per-slot template-index channel;
+both supported, including together (tests/test_ring_lc.py::
+test_ring_lc_matches_gen1_mixed_templates). Non-uniform templates ride as
+a per-slot template-index channel;
 params materialize via a one-hot einsum against tpl_params (the _PP
 provider) with the leader's maxNegAcc/usualNegAcc/len where the reference
 uses them (vehicle.cpp:160,217,229). Exact mode stays on the gen-1 path;
@@ -84,6 +85,10 @@ class RingConfig:
     lane_change: bool = False # enable the signal/shadow protocol (ring_lc)
     LCI: int = 2              # shadow inserts per lane per step (flagged)
     LCD: int = 2              # mid-ring finish removals per lane per step
+    track_history: bool = False  # Lane::updateHistory rolling window
+                              # (roadnet.cpp:900-915) feeding
+                              # RouterType::DURATION host reroutes
+    history_len: int = 240    # HISTORY_LEN (roadnet.h:306)
     MAXLPR: int = 1           # route-table lanes-per-road width (rn rows)
     inn_shifts: Tuple[int, ...] = ()   # lane -> inner-lane permutation plan
     out_shifts: Tuple[int, ...] = ()   # lane -> outer-lane permutation plan
@@ -104,7 +109,9 @@ class RingConfig:
                       "k_entll", "k_enter", "k_pri", "k_uid", "k_nxtl",
                       "k_custom", "k_hascustom",
                       "l_off", "l_sh", "l_chg", "l_dir", "l_gap", "l_yv",
-                      "l_rnrow", "l_auxrow", "k_gap", "l_tpl", "k_tpl"],
+                      "l_rnrow", "l_auxrow", "k_gap", "l_tpl", "k_tpl",
+                      "h_ring_num", "h_ring_ssum", "h_num", "h_ssum",
+                      "h_t"],
          meta_fields=[])
 @dataclass
 class RingState:
@@ -137,6 +144,15 @@ class RingState:
     # template channels (None when cfg.uniform — zero cost)
     l_tpl: Any = None         # (SL, LNp) i32 template index
     k_tpl: Any = None         # (SK, LKp) i32 template index
+    # lane-history channels (None when cfg.track_history is off):
+    # Lane::updateHistory rolling window (roadnet.cpp:900-915), kept as
+    # speed SUMS like gen-1 core/step.update_history (one extra rounding
+    # vs the reference's (num, avg) pairs — documented delta)
+    h_ring_num: Any = None    # (history_len+1, LNp) per-step lane counts
+    h_ring_ssum: Any = None   # (history_len+1, LNp) per-step speed sums
+    h_num: Any = None         # (LNp,) window count sum
+    h_ssum: Any = None        # (LNp,) window speed sum
+    h_t: Any = None           # i32 updateHistory calls so far
 
     def replace_fields(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -167,6 +183,13 @@ def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
             k_gap=zk())
     if not cfg.uniform:
         lc = dict(lc, l_tpl=il_(0), k_tpl=ik(0))
+    if cfg.track_history:
+        HL1 = cfg.history_len + 1
+        lc = dict(lc,
+                  h_ring_num=jnp.zeros((HL1, LNp), f),
+                  h_ring_ssum=jnp.zeros((HL1, LNp), f),
+                  h_num=jnp.zeros(LNp, f), h_ssum=jnp.zeros(LNp, f),
+                  h_t=jnp.int32(0))
     return RingState(
         step=jnp.int32(0), finished_cnt=jnp.int32(0), cum_travel=f(0),
         overflow=jnp.int32(0),
@@ -182,6 +205,35 @@ def init_ring_state(cfg: RingConfig, net, num_entry: int) -> RingState:
         k_entll=ik(INT_MAX), k_enter=zk(), k_pri=ik(), k_uid=ik(-1),
         k_nxtl=ik(-1), k_custom=zk(), k_hascustom=jnp.zeros((SK, LKp), bool),
         **lc)
+
+
+def _update_history(cfg: RingConfig, rs: RingState) -> RingState:
+    """Lane::updateHistory (roadnet.cpp:900-915) on the ring layout —
+    the per-lane count is the slot occupancy n_l (shadow slots included,
+    like the reference's lane list) and the speed sum reduces the l_speed
+    channel over occupied slots. Same window arithmetic as gen-1
+    core/step.update_history: the subtraction removes exactly the stored
+    entry, so the window sums carry no accumulation drift."""
+    f = rs.l_speed.dtype
+    SL = cfg.SL
+    HL1 = cfg.history_len + 1
+    occ = jnp.arange(SL, dtype=jnp.int32)[:, None] < rs.n_l[None, :]
+    cur_num = rs.n_l.astype(f)
+    cur_ssum = jnp.sum(jnp.where(occ, rs.l_speed, f.type(0)), axis=0)
+    slot = rs.h_t % HL1
+    full = rs.h_t >= HL1
+    old_num = jax.lax.dynamic_slice_in_dim(rs.h_ring_num, slot, 1)[0]
+    old_ssum = jax.lax.dynamic_slice_in_dim(rs.h_ring_ssum, slot, 1)[0]
+    old_num = jnp.where(full, old_num, f.type(0))
+    old_ssum = jnp.where(full, old_ssum, f.type(0))
+    return rs.replace_fields(
+        h_num=rs.h_num - old_num + cur_num,
+        h_ssum=rs.h_ssum - old_ssum + cur_ssum,
+        h_ring_num=jax.lax.dynamic_update_slice_in_dim(
+            rs.h_ring_num, cur_num[None], slot, 0),
+        h_ring_ssum=jax.lax.dynamic_update_slice_in_dim(
+            rs.h_ring_ssum, cur_ssum[None], slot, 0),
+        h_t=rs.h_t + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +651,13 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
         rs, lc_ov = ring_lc.lc_phase(net, cfg, rs, fx)
         ov = ov | jnp.where(lc_ov & 1, OV_REMOVE, 0).astype(jnp.int32) \
             | jnp.where(lc_ov & 2, OV_SLOTS, 0).astype(jnp.int32)
+        if cfg.track_history:
+            # first Lane::updateHistory of the step: the laneChange
+            # pipeline runs updateLeaderAndGap after shadow insertion
+            # (engine.cpp:571-581), and updateHistory rides every
+            # updateLeaderAndGap call — counts see fresh shadows, speeds
+            # are last step's committed values (gen-1 does the same)
+            rs = _update_history(cfg, rs)
 
     # =====================================================================
     # 2. views
@@ -1862,6 +1921,10 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         k_custom=jnp.zeros((SK, LKp), f),
         k_hascustom=jnp.zeros((SK, LKp), bool),
         **lc_commit_kw, **tpl_commit_kw)
+    if cfg.track_history:
+        # end-of-step Lane::updateHistory on committed state (the final
+        # threadUpdateLeaderAndGap of nextStep, engine.cpp:581)
+        new_rs = _update_history(cfg, new_rs)
     return new_rs, dbg
 
 

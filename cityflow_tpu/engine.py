@@ -142,8 +142,7 @@ class Engine:
             exact=exact,
             track_history=(self.router_type == "DURATION"))
         self._ring = None
-        if not exact and backend in ("auto", "ring") \
-                and self.router_type != "DURATION":
+        if not exact and backend in ("auto", "ring"):
             from cityflow_tpu.ring_backend import RingShell
             try:
                 self._ring = RingShell(self)
@@ -151,8 +150,7 @@ class Engine:
                 if backend == "ring":
                     raise
         elif backend == "ring":
-            raise ValueError("backend='ring' requires exact=False and "
-                             "routerType LENGTH")
+            raise ValueError("backend='ring' requires exact=False")
         self.state = None if self._ring else self._fresh_state()
         self._manually_pushed = 0
         self._pushed_ids: Dict[int, str] = {}   # uid -> custom id
@@ -373,6 +371,17 @@ class Engine:
             self._net_dev[k] = jnp.asarray(getattr(net, k))
         return rid
 
+    def _lane_history_np(self):
+        """(window num, window speed sum) per ORIGINAL lane index from
+        whichever backend holds the live window (gen-1 state.hist_* or
+        the ring h_* channels via meta.lane_pos)."""
+        if self._ring is not None:
+            st = self._ring.sim.state
+            num, ssum = jax.device_get((st.h_num, st.h_ssum))
+            lp = self._ring.sim.meta.lane_pos
+            return num[lp], ssum[lp]
+        return jax.device_get((self.state.hist_num, self.state.hist_ssum))
+
     def _road_durations(self) -> Dict[int, float]:
         """Road::getAverageDuration per road from the device-side lane
         history (roadnet.cpp:719-734): average speed weighted by history
@@ -380,7 +389,7 @@ class Engine:
         out: Dict[int, float] = {}
         if not self.cfg.track_history:
             return out
-        num, ssum = jax.device_get((self.state.hist_num, self.state.hist_ssum))
+        num, ssum = self._lane_history_np()
         for road in self.net.host.net.roads:
             n = 0.0
             s = 0.0
@@ -411,7 +420,7 @@ class Engine:
         getHistoryAverageSpeed, roadnet.cpp:917-923)."""
         if not self.cfg.track_history:
             raise RuntimeError('lane history requires routerType "DURATION"')
-        num, ssum = jax.device_get((self.state.hist_num, self.state.hist_ssum))
+        num, ssum = self._lane_history_np()
         ids = self.net.host.lane_ids
         return {ids[i]: (int(num[i]), float(ssum[i] / num[i]) if num[i] else 0.0)
                 for i in range(len(ids))}

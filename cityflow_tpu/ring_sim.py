@@ -122,7 +122,9 @@ def build_sim(net: CompiledNet, horizon: int = 512,
         lane_change=bool(lane_change),
         MAXLPR=int(np.asarray(tb["route_next"]).shape[2]),
         inn_shifts=tuple(meta.inn_shifts),
-        out_shifts=tuple(meta.out_shifts))
+        out_shifts=tuple(meta.out_shifts),
+        track_history=(str(cfgj.get("routerType", "LENGTH")).upper()
+                       == "DURATION"))
 
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
     q = _build_queues(gen, meta, horizon,

@@ -93,6 +93,48 @@ def test_duration_reroute_api(tmp_path):
     assert eng.get_vehicle_count() > 0
 
 
+def test_ring_backend_serves_duration(tmp_path):
+    """routerType=DURATION on backend='ring' (VERDICT r04 next-round 7):
+    the ring maintains the Lane::updateHistory window on device (h_*
+    channels, core/ring._update_history) and must match gen-1 fast mode
+    per lane after 40 steps; live reroutes consume it through the same
+    Engine._router_cost host path."""
+    from cityflow_tpu.engine import Engine
+    cfgp = _duration_config(tmp_path)
+    e1 = Engine(cfgp, exact=False, backend="gen1")
+    e2 = Engine(cfgp, exact=False, backend="ring")
+    assert e2._ring is not None, "ring must serve DURATION now"
+    assert e2._ring.sim.cfg.track_history
+    for _ in range(40):
+        e1.next_step()
+        e2.next_step()
+    h1, h2 = e1.get_lane_history(), e2.get_lane_history()
+    assert set(h1) == set(h2)
+    for lid in h1:
+        n1, s1 = h1[lid]
+        n2, s2 = h2[lid]
+        assert n1 == n2, (lid, n1, n2)
+        assert abs(s1 - s2) <= 2e-3 * max(abs(s1), 1.0), (lid, s1, s2)
+    d1, d2 = e1._road_durations(), e2._road_durations()
+    assert set(d1) == set(d2)
+    for ri in d1:
+        if d1[ri] < 0 or math.isinf(d1[ri]):
+            assert d1[ri] == d2[ri] or (
+                math.isinf(d1[ri]) and math.isinf(d2[ri]))
+        else:
+            assert abs(d1[ri] - d2[ri]) <= 2e-3 * max(abs(d1[ri]), 1.0)
+    # reroute smoke on the ring backend: must consume the live history
+    vids = e2.get_vehicles(include_waiting=False)
+    moved = 0
+    for v in vids[:8]:
+        info = e2.get_vehicle_info(v)
+        if info.get("drivable", "").startswith("road"):
+            if e2.set_vehicle_route(v, [info["road"]]):
+                moved += 1
+    e2.next_step()
+    assert e2.get_vehicle_count() > 0
+
+
 def test_history_durations_match_oracle(tmp_path):
     """Road::getAverageDuration per road per step vs the unmodified
     reference (golden from tools/oracle/dump_history.cpp on the 2x2
