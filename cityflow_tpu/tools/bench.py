@@ -58,9 +58,10 @@ def run_ring(args, net, batch):
 
     t0 = time.time()
     # the spawn horizon (and so the q-table shapes) is prebuilt to the
-    # FULL step budget; the timed region then sizes itself to
-    # --min-seconds without changing any compiled shape
-    sim = ring_sim.build_sim(net, horizon=args.warmup + args.steps + 8,
+    # step budget; with --window the budget is one window (the timed
+    # region loops that window), else the full --steps
+    budget = args.window if args.window else args.steps
+    sim = ring_sim.build_sim(net, horizon=args.warmup + budget + 8,
                              sl=args.lane_slots)
     build_s = time.time() - t0
     st0 = sim.state
@@ -80,27 +81,72 @@ def run_ring(args, net, batch):
     else:
         def step_b(s):
             return ring_step_batched(sim.tables, sim.cfg, s, sim.q)
+    # TIMING DISCIPLINE: on the axon-tunneled TPU, jax.block_until_ready
+    # returns BEFORE the device executes (measured 2026-08-20: a 28-TFLOP
+    # matmul chain "blocked" in 3 ms; the ring step "ran" at 0.37 ms
+    # enqueue vs 226 ms real). Every fence below is therefore a VALUE
+    # READBACK (time-to-value), never block_until_ready. Rounds 1-4
+    # recorded enqueue rates; numbers from this file are now honest.
+    def fence(tree):
+        leaf = tree.overflow if hasattr(tree, "overflow") else tree
+        return float(jnp.max(leaf))
+
+    print(f"[stage] build_s={build_s:.1f}", file=sys.stderr, flush=True)
     t0 = time.time()
-    bstate = jax.block_until_ready(step_b(bstate))
+    bstate = step_b(bstate)
+    fence(bstate)
     compile_s = time.time() - t0
+    print(f"[stage] compile_s={compile_s:.1f}", file=sys.stderr, flush=True)
     t0 = time.time()
     for _ in range(max(args.warmup - 1, 1)):
         bstate = step_b(bstate)
-    bstate = jax.block_until_ready(bstate)
+    fence(bstate)
     est = (time.time() - t0) / max(args.warmup - 1, 1)
-    # timed window: at least --min-seconds of wall clock (VERDICT r04
-    # weak 3: a 24 ms window is not a measurement), bounded by the
-    # prebuilt spawn horizon; per-step cost is shape-bound, so running
-    # deeper into the (denser) scenario is the honest long window
-    steps = int(args.steps)
-    if args.min_seconds:
-        steps = min(steps, max(64, int(args.min_seconds / max(est, 1e-7))))
-    t0 = time.time()
-    s = bstate
-    for _ in range(steps):
-        s = step_b(s)
-    s = jax.block_until_ready(s)
-    dt = time.time() - t0
+    # timed region: at least --min-seconds of wall clock (VERDICT r04
+    # weak 3: a 24 ms window is not a measurement). With --window W the
+    # region LOOPS the scenario's first W post-warmup steps, resetting
+    # the state to the warm snapshot between repeats (the on-device copy
+    # is ~1 ms, timed in): the measurement runs at the benchmark's real
+    # density for as long as needed instead of simulating thousands of
+    # consecutive steps into an unphysical jam (r04's 5005-step run
+    # tripped OV_REMOVE at 36k veh/env). W=0 runs consecutively.
+    if args.window:
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "shape") else x, bstate)
+        fence(snap)
+        # B=64 30x30 fits one chip only without extra live copies
+        # (README: donation reclaimed B=64): drop the warmup state
+        bstate = None
+        print("[stage] snapshot done", file=sys.stderr, flush=True)
+        W = int(args.window)
+        steps = 0
+        s = None
+        t0 = time.time()
+        while True:
+            s = None        # free last window's state before the copy
+            s = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if hasattr(x, "shape") else x, snap)
+            for _ in range(W):
+                s = step_b(s)
+            fence(s)        # readback fence: forces real execution
+            steps += W
+            print(f"[stage] window done steps={steps} "
+                  f"elapsed={time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            if time.time() - t0 >= args.min_seconds or steps >= args.steps:
+                break
+        dt = time.time() - t0
+    else:
+        steps = int(args.steps)
+        if args.min_seconds:
+            steps = min(steps,
+                        max(64, int(args.min_seconds / max(est, 1e-7))))
+        t0 = time.time()
+        s = bstate
+        for _ in range(steps):
+            s = step_b(s)
+        fence(s)
+        dt = time.time() - t0
     ov = int(jnp.max(s.overflow))
     veh = int(jnp.sum(s.n_l[0]) + jnp.sum(s.n_k[0]))
     return dt, ov, veh, build_s, compile_s, steps
@@ -142,7 +188,8 @@ def run_gen1(args, net, batch):
     cfgj = net.host.config
     interval = float(cfgj["interval"])
     gen = SpawnGenerator(net, int(cfgj["seed"]), interval)
-    horizon = args.warmup + args.steps + 8
+    budget = args.window if args.window else args.steps
+    horizon = args.warmup + budget + 8
     gen.extend(horizon)
     t = gen.arrays()
     pad = max(gen.max_per_step, 1)
@@ -195,22 +242,48 @@ def run_gen1(args, net, batch):
 
         def step_b(s):
             return stepj(net_dev, s, spawn_dev)
+    def fence(tree):
+        # readback fence — see run_ring: block_until_ready is a no-op on
+        # the axon tunnel; only a value transfer proves execution
+        return float(jnp.max(tree.overflow))
+
     t0 = time.time()
-    state = jax.block_until_ready(step_b(state))
+    state = step_b(state)
+    fence(state)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(max(args.warmup - 1, 1)):
         state = step_b(state)
-    state = jax.block_until_ready(state)
+    fence(state)
     est = (time.time() - t0) / max(args.warmup - 1, 1)
-    steps = int(args.steps)
-    if args.min_seconds:
-        steps = min(steps, max(64, int(args.min_seconds / max(est, 1e-7))))
-    t0 = time.time()
-    for _ in range(steps):
-        state = step_b(state)
-    state = jax.block_until_ready(state)
-    dt = time.time() - t0
+    if args.window:
+        # windowed measurement — see run_ring
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "shape") else x, state)
+        fence(snap)
+        W = int(args.window)
+        steps = 0
+        t0 = time.time()
+        while True:
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if hasattr(x, "shape") else x, snap)
+            for _ in range(W):
+                state = step_b(state)
+            fence(state)
+            steps += W
+            if time.time() - t0 >= args.min_seconds or steps >= args.steps:
+                break
+        dt = time.time() - t0
+    else:
+        steps = int(args.steps)
+        if args.min_seconds:
+            steps = min(steps,
+                        max(64, int(args.min_seconds / max(est, 1e-7))))
+        t0 = time.time()
+        for _ in range(steps):
+            state = step_b(state)
+        fence(state)
+        dt = time.time() - t0
     ov = int(jnp.max(state.overflow))
     veh = int(jnp.sum(state.active[0]))
     return dt, ov, veh, 0.0, compile_s, steps
@@ -227,6 +300,14 @@ def main():
                     help="step BUDGET for the timed window (the spawn "
                          "horizon is prebuilt to cover it); the window "
                          "sizes itself to --min-seconds within this")
+    ap.add_argument("--window", type=int, default=300,
+                    help="timed region loops the scenario's first "
+                         "WINDOW post-warmup steps (reset to the warm "
+                         "snapshot between repeats) until --min-seconds "
+                         "elapse: a long measurement at the benchmark's "
+                         "real density, matching the reference's "
+                         "300-step measurement. 0 = run --steps "
+                         "consecutive steps instead")
     ap.add_argument("--min-seconds", type=float, default=2.0,
                     help="minimum timed-window wall clock; 0 = run "
                          "exactly --steps")
@@ -302,6 +383,7 @@ def main():
             "overflow_flags": ov,
             "vehicles_per_env": veh,
             "seconds": round(dt, 3),
+            "window": args.window,
         }
 
     if args.sweep:
