@@ -147,21 +147,25 @@ def make_ring_dqn_split_step(tables, cfg, max_phases: int,
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
     G, I = cfg.G, cfg.I
 
+    # the split path runs on the TRAILING-batch env state (core/ring.py
+    # batch_ring_state); learner tensors (obs/actions/Q) stay
+    # leading-batch for the dense layers — the obs vmap is the pivot
     @jax.jit
     def act_program(tables_a, params, state, key, eps):
-        obs, _ = jax.vmap(obs_fn, in_axes=(None, 0))(tables_a, state)
+        obs, _ = jax.vmap(obs_fn, in_axes=(None, -1),
+                          out_axes=0)(tables_a, state)
         actions, key = _eps_greedy(tables_a, params, obs, key, eps)
         B = actions.shape[0]
         phases = jnp.concatenate(
             [actions, jnp.zeros((B, I - G), jnp.int32)], axis=1)
-        state = state.replace_fields(phase=phases)
+        state = state.replace_fields(phase=phases.T)      # (I, B)
         return obs, actions, key, state
 
     @jax.jit
     def update_program(tables_a, params, target, opt_state, obs, actions,
                        new_state):
-        obs_next, w_up_next = jax.vmap(obs_fn, in_axes=(None, 0))(
-            tables_a, new_state)
+        obs_next, w_up_next = jax.vmap(obs_fn, in_axes=(None, -1),
+                                       out_axes=0)(tables_a, new_state)
         rewards = -w_up_next / 10.0                          # (B, G)
         loss, grads = jax.value_and_grad(_td_loss)(
             params, target, obs, actions, rewards, obs_next,

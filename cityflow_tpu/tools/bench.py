@@ -54,7 +54,8 @@ def run_ring(args, net, batch):
     import jax.numpy as jnp
     from cityflow_tpu import ring_sim
     from cityflow_tpu.core.ring import (
-        ring_step_batched, ring_step_p1_batched, ring_step_p2_batched)
+        batch_ring_state, ring_step_batched, ring_step_p1_batched,
+        ring_step_p2_batched)
 
     t0 = time.time()
     # the spawn horizon (and so the q-table shapes) is prebuilt to the
@@ -64,11 +65,11 @@ def run_ring(args, net, batch):
     sim = ring_sim.build_sim(net, horizon=args.warmup + budget + 8,
                              sl=args.lane_slots)
     build_s = time.time() - t0
-    st0 = sim.state
     B = batch
-    bstate = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
-        if hasattr(x, "shape") else x, st0)
+    # TRAILING batch layout (core/ring.py batch_ring_state): the env axis
+    # rides minor so reshape views stay bitcasts; B multiple of 128 fills
+    # the vector tiles
+    bstate = batch_ring_state(sim.state, B)
     if net.num_links > 16000 or (sim.cfg.lane_change
                                  and net.num_links > 4000):
         # split compilation: the monolithic 30x30 program exceeds
@@ -148,7 +149,7 @@ def run_ring(args, net, batch):
         fence(s)
         dt = time.time() - t0
     ov = int(jnp.max(s.overflow))
-    veh = int(jnp.sum(s.n_l[0]) + jnp.sum(s.n_k[0]))
+    veh = int(jnp.sum(s.n_l[:, 0]) + jnp.sum(s.n_k[:, 0]))
     return dt, ov, veh, build_s, compile_s, steps
 
 
@@ -295,7 +296,10 @@ def main():
     ap.add_argument("--layout", choices=["ring", "gen1", "auto"],
                     default="auto",
                     help="gen-2 ring (fast path) or gen-1 slot pool")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="env batch; the ring state is trailing-batch, "
+                         "so multiples of 128 fill the vector tiles "
+                         "(64 occupies the same HBM as 128)")
     ap.add_argument("--steps", type=int, default=6144,
                     help="step BUDGET for the timed window (the spawn "
                          "horizon is prebuilt to cover it); the window "

@@ -26,7 +26,7 @@ def main():
                     choices=["p1", "p2", "both", "mono"])
     ap.add_argument("--config", default="benchmarks/config_30x30.json")
     ap.add_argument("--sl", type=int, default=40)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=6144,
                     help="bench.py --steps budget to mirror (the spawn "
                          "horizon sets the q-table shapes => cache key)")
@@ -38,7 +38,8 @@ def main():
     from cityflow_tpu.engine import _enable_compilation_cache
     from cityflow_tpu import ring_sim
     from cityflow_tpu.core.ring import (
-        ring_step_batched, ring_step_p1_batched, ring_step_p2_batched)
+        batch_ring_state, ring_step_batched, ring_step_p1_batched,
+        ring_step_p2_batched)
 
     _enable_compilation_cache()
     cfg_path = args.config if os.path.isabs(args.config) \
@@ -50,23 +51,26 @@ def main():
     print(f"build {time.time()-t0:.1f}s lc={sim.cfg.lane_change}",
           flush=True)
     B = args.batch
-    bstate = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((B,) + x.shape, x.dtype) + x[None]
-        if hasattr(x, "shape") else x, sim.state)
+    bstate = batch_ring_state(sim.state, B)   # trailing batch, like bench
+
+    def fence(x):
+        # value readback: block_until_ready is a no-op on the axon tunnel
+        return float(jnp.max(x.overflow))
+
     if args.which == "mono":
         t0 = time.time()
         out = ring_step_batched(sim.tables, sim.cfg, bstate, sim.q)
-        out = jax.block_until_ready(out)
+        fence(out)
         print(f"mono ready {time.time()-t0:.1f}s", flush=True)
     else:
         t0 = time.time()
         s, mid = ring_step_p1_batched(sim.tables, sim.cfg, bstate, sim.q)
-        s = jax.block_until_ready(s)
+        fence(s)
         print(f"p1 ready {time.time()-t0:.1f}s", flush=True)
         if args.which in ("p2", "both"):
             t0 = time.time()
             out = ring_step_p2_batched(sim.tables, sim.cfg, s, mid)
-            out = jax.block_until_ready(out)
+            fence(out)
             print(f"p2 ready {time.time()-t0:.1f}s", flush=True)
     print("PRIMED", args.which, flush=True)
 

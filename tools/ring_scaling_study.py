@@ -80,7 +80,8 @@ def main():
     from cityflow_tpu.compiler.net import compile_scenario
     from cityflow_tpu import ring_sim
     from cityflow_tpu.core.ring import (
-        ring_step, ring_step_p1_batched, ring_step_p2_batched)
+        batch_ring_state, ring_step, ring_step_p1_batched,
+        ring_step_p2_batched)
     from cityflow_tpu.core import ring_observe
     from cityflow_tpu.rl import ring_dqn
 
@@ -97,10 +98,25 @@ def main():
     max_phases = int(net.n_phases.max()) if net.n_phases.size else 1
     G, I = cfg.G, cfg.I
 
+    # split path rides the TRAILING-batch layout (core/ring.py
+    # batch_ring_state: env axis minor, reshape views stay bitcasts);
+    # the monolithic path keeps its own leading-batch vmaps. BA is the
+    # state's batch axis for the vmapped obs/metric helpers below.
+    BA = -1 if split else 0
+
     def batch_state(b):
+        if split:
+            return batch_ring_state(sim.state, b)
         return jax.tree_util.tree_map(
             lambda x: jnp.zeros((b,) + x.shape, x.dtype) + x[None]
             if hasattr(x, "shape") else x, sim.state)
+
+    def fence(st):
+        # value readback: block_until_ready is a no-op on the axon
+        # tunnel (CLAUDE.md timing discipline) — only a transferred
+        # value proves device execution
+        float(jnp.max(st.overflow))
+        return st
 
     make = ring_dqn.make_ring_dqn_split_step if split \
         else ring_dqn.make_ring_dqn_train_step
@@ -121,9 +137,17 @@ def main():
             break
         B = args.per_device * n_dev
         mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("env",))
-        shard = NamedSharding(mesh, P("env"))
         repl = NamedSharding(mesh, P())
-        state = jax.device_put(batch_state(B), shard)
+        st_host = batch_state(B)
+        if split:
+            # trailing-batch state: shard each leaf's LAST axis
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(
+                    mesh, P(*([None] * (x.ndim - 1) + ["env"]))))
+                if hasattr(x, "ndim") and x.ndim else x, st_host)
+        else:
+            shard = NamedSharding(mesh, P("env"))
+            state = jax.device_put(st_host, shard)
         if split:
             # the split pieces are individually jitted; GSPMD propagates
             # the input shardings (state sharded on "env", params
@@ -141,12 +165,12 @@ def main():
         t1 = jax.device_put(target, repl)
         p1, o1, state, k1, _ = step_sh(tables, p1, t1, o1, state, q,
                                        jax.device_put(key, repl), 0.3)
-        state = jax.block_until_ready(state)
+        fence(state)
         t0 = time.time()
         for _ in range(args.steps):
             p1, o1, state, k1, _ = step_sh(tables, p1, t1, o1, state, q,
                                            k1, 0.3)
-        state = jax.block_until_ready(state)
+        fence(state)
         dt = time.time() - t0
         # each train step advances every env by sim_steps_per_action=5
         rate = B * args.steps * 5 / dt
@@ -206,7 +230,7 @@ def main():
                 t0 = time.time()
                 params1, opt1, st1, key1, m1 = step_tr(
                     tables, params, target, opt_state, st_tr, q, key, 0.5)
-                st1 = jax.block_until_ready(st1)
+                fence(st1)
                 train_perf["compile_s"] = round(time.time() - t0, 1)
                 break
             except jax.errors.JaxRuntimeError as e:
@@ -230,15 +254,18 @@ def main():
                 snaps.append(jax.device_get(params))
                 snap_iters.append(i)
             if i and i % episode_len == 0:
-                st_tr = jax.block_until_ready(batch_state(args.batch))
+                st_tr = batch_state(args.batch)
             t0 = time.time()
             params, opt_state, st_tr, key, m = step_tr(
                 tables, params, target, opt_state, st_tr, q, key,
                 max(0.5 * (0.98 ** i), 0.05))
-            st_tr = jax.block_until_ready(st_tr)
+            # the loss readback is the timing fence: the TD update
+            # consumes the post-rollforward state, so transferring the
+            # loss value proves the whole iteration executed
+            lf = float(m["loss"])
             t_timed += time.time() - t0
             n_timed += 1
-            losses.append(float(m["loss"]))
+            losses.append(lf)
             rewards_tr.append(float(m["mean_reward"]))
         it0 = min(it0 + args.dqn_iters, total)
         if n_timed:
@@ -283,18 +310,20 @@ def main():
 
     @jax.jit
     def greedy_phase(tables_a, st, p):
-        obs, _ = jax.vmap(obs_fn, in_axes=(None, 0))(tables_a, st)
+        obs, _ = jax.vmap(obs_fn, in_axes=(None, BA),
+                          out_axes=0)(tables_a, st)
         qv = jax.vmap(lambda o: ring_dqn._masked_q(
             p, o, tables_a["g_n_phases"]))(obs)
         acts = jnp.argmax(qv, axis=-1).astype(jnp.int32)
         phases = jnp.concatenate(
             [acts, jnp.zeros((acts.shape[0], I - G), jnp.int32)], axis=1)
-        return st.replace_fields(phase=phases)
+        return st.replace_fields(phase=phases.T if split else phases)
 
     @partial(jax.jit, static_argnums=(1,))
     def waiting_sum(st, c):
-        return jnp.sum(jax.vmap(lambda s: ring_observe.lane_waiting_ring(
-            c, s).astype(jnp.float32))(st))
+        return jnp.sum(jax.vmap(
+            lambda s: ring_observe.lane_waiting_ring(
+                c, s).astype(jnp.float32), in_axes=BA)(st))
 
     if split:
         def env_step(st, c):
