@@ -889,28 +889,41 @@ def _notify_phase(net, cfg: RingConfig, rs: RingState, q,
     NF = fields.shape[0]
     NB = 5                           # bf16-safe leading channels
     if cfg.foe_via_perm:
+        # keep the two precision groups SEPARATE end to end: a combined
+        # (NF, KC, LPI, G) f32 slab cost a pad+relayout-copy+re-slice
+        # chain of ~25 ms/step at 30x30 B=128 (r05 profile); the lo
+        # group also STAYS bf16 (its values already crossed the exchange
+        # in bf16 — flags and ints <= 256 are exact)
         x = fields.reshape(NF, KC * LPI, G)
-        outs = []
+        lo_t, hi_t = [], []
         for t, (g0, g1) in enumerate(cfg.type_ranges):
             P = net["foe_perm"][t]
-            lo = jnp.einsum("st,ctg->csg", P.astype(jnp.bfloat16),
-                            x[:NB, :, g0:g1].astype(jnp.bfloat16)).astype(f)
-            hi = jnp.einsum("st,ctg->csg", P, x[NB:, :, g0:g1],
-                            precision=HI)
-            outs.append(jnp.concatenate([lo, hi], axis=0))
-        foe = jnp.concatenate(outs, axis=-1).reshape(NF, KC, LPI, G)
+            lo_t.append(jnp.einsum("st,ctg->csg", P.astype(jnp.bfloat16),
+                                   x[:NB, :, g0:g1].astype(jnp.bfloat16)))
+            hi_t.append(jnp.einsum("st,ctg->csg", P, x[NB:, :, g0:g1],
+                                   precision=HI))
+        lo = jnp.concatenate(lo_t, axis=-1).reshape(NB, KC, LPI, G)
+        hi = jnp.concatenate(hi_t, axis=-1).reshape(NF - NB, KC, LPI, G)
+        foe_exists = lo[0] > 0.5
+        foe_yield = lo[1] > 0.5
+        foe_cleared = lo[2] > 0.5
+        foe_cyc = lo[3] > 0.5
+        foe_reach = lo[4].astype(f)      # ints <= 255: exact round-trip
+        foe_dist = hi[0]
+        foe_ent = hi[1]
+        foe_ph, foe_plo = hi[2], hi[3]
     else:
         flat = fields.reshape(NF, KC * LKp)
         foe = jnp.take(flat, net["foe_gather"].reshape(-1),
                        axis=1).reshape(NF, KC, LPI, G)
-    foe_exists = foe[0] > 0.5
-    foe_yield = foe[1] > 0.5
-    foe_cleared = foe[2] > 0.5
-    foe_cyc = foe[3] > 0.5
-    foe_reach = foe[4]
-    foe_dist = foe[5]
-    foe_ent = foe[6]
-    foe_ph, foe_plo = foe[7], foe[8]
+        foe_exists = foe[0] > 0.5
+        foe_yield = foe[1] > 0.5
+        foe_cleared = foe[2] > 0.5
+        foe_cyc = foe[3] > 0.5
+        foe_reach = foe[4]
+        foe_dist = foe[5]
+        foe_ent = foe[6]
+        foe_ph, foe_plo = foe[7], foe[8]
     foe_dpos = foe_dist > 0
 
     # ---- per-row cross decisions (Cross::canPass, roadnet.cpp:604-660;
@@ -1775,12 +1788,20 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
     disx = jnp.where(cvalidv, cands[:, PCH.index("dis")], -jnp.inf)
     # multi-operand lax.sort = vectorized sorting network along the tiny A
     # axis (argsort + take_along_axis would lower to a scalar-core gather
-    # over every element)
-    sorted_ops = jax.lax.sort(
-        (-disx, cvalidv.astype(f)) + tuple(cands[:, i] for i in range(len(PCH))),
-        dimension=0, num_keys=1)
-    cvalid_s = sorted_ops[1] > 0.5
-    cands_s = jnp.stack(sorted_ops[2:], axis=1)
+    # over every element). Sort only (key, valid, iota) — routing all PCH
+    # channels through the network cost 8 ms/step at 30x30 B=128 — and
+    # apply the stable permutation to the SA rows commit_l consumes with
+    # a one-hot contraction (exact: each output selects one input).
+    iota_a = jnp.broadcast_to(
+        jnp.arange(A, dtype=f)[:, None, None], disx.shape)
+    skey_s, svalid_s, sidx_s = jax.lax.sort(
+        (-disx, cvalidv.astype(f), iota_a), dimension=0, num_keys=1)
+    cvalid_s = svalid_s > 0.5
+    SAE = min(cfg.SA, A)
+    oh_s = (sidx_s[:SAE, None].astype(jnp.int32)
+            == jnp.arange(A, dtype=jnp.int32)[None, :, None, None])
+    cands_s = jnp.einsum("jsog,scog->jcog", oh_s.astype(f), cands,
+                         precision=HI)
     m_ol = cvalidv.astype(i32).sum(0)
     if A > cfg.SA:
         ov = ov | jnp.where(jnp.any(cvalid_s[cfg.SA:]),

@@ -20,28 +20,33 @@ from collections import defaultdict
 
 
 def aggregate_xplane(trace_dir):
-    """Aggregate device-side op durations from the captured xplane."""
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+    """Aggregate device-side op durations from the captured trace.
+
+    Parses the plain trace.json.gz the profiler writes next to the
+    xplane (the tensorboard_plugin_profile converter is protobuf-version
+    broken in this image). Returns {name: [us, count, long_name]}."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
         return None
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [max(paths, key=os.path.getmtime)], "trace_viewer", {})
-    tr = json.loads(data)
-    by_name = defaultdict(lambda: [0.0, 0])
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as fh:
+        tr = json.load(fh)
     pid_device = set()
     for ev in tr.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             nm = ev.get("args", {}).get("name", "")
-            if "TPU" in nm or "/device" in nm.lower() or "XLA Op" in nm:
+            if "TPU" in nm:
                 pid_device.add(ev["pid"])
+    by_name = defaultdict(lambda: [0.0, 0, ""])
     for ev in tr.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in pid_device:
             continue
         nm = ev.get("name", "?")
         by_name[nm][0] += ev.get("dur", 0)
         by_name[nm][1] += 1
+        ln = ev.get("args", {}).get("long_name", "")
+        if ln:
+            by_name[nm][2] = ln[:240]
     return by_name
 
 
@@ -119,18 +124,20 @@ def main():
     if by_name:
         cats = defaultdict(lambda: [0.0, 0])
         rows = []
-        for nm, (us, cnt) in by_name.items():
+        for nm, (us, cnt, ln) in by_name.items():
             c = categorize(nm)
             cats[c][0] += us
             cats[c][1] += cnt
-            rows.append((us, cnt, nm))
+            rows.append((us, cnt, nm, ln))
         rows.sort(reverse=True)
         doc["by_category_us"] = {k: {"us": round(v[0], 1), "count": v[1]}
                                  for k, v in sorted(cats.items(),
                                                     key=lambda i: -i[1][0])}
-        doc["top_ops"] = [{"us": round(us, 1), "count": cnt, "name": nm[:160]}
-                          for us, cnt, nm in rows[:60]]
-        doc["total_device_us"] = round(sum(v[0] for v in by_name.values()), 1)
+        doc["top_ops"] = [{"us": round(us, 1), "count": cnt,
+                           "name": nm[:160], "sig": ln}
+                          for us, cnt, nm, ln in rows[:60]]
+        doc["total_device_us"] = round(sum(v[0] for v in by_name.values()),
+                                       1)
     else:
         doc["error"] = "no xplane captured"
     with open(args.out, "w") as f:
