@@ -1798,10 +1798,14 @@ def _commit_phase(net, cfg: RingConfig, rs: RingState, mid):
         (-disx, cvalidv.astype(f), iota_a), dimension=0, num_keys=1)
     cvalid_s = svalid_s > 0.5
     SAE = min(cfg.SA, A)
-    oh_s = (sidx_s[:SAE, None].astype(jnp.int32)
-            == jnp.arange(A, dtype=jnp.int32)[None, :, None, None])
-    cands_s = jnp.einsum("jsog,scog->jcog", oh_s.astype(f), cands,
-                         precision=HI)
+    # apply the permutation as a where-sum (exact one-hot select; an
+    # einsum here lowered to a convolution whose padded layout cost
+    # 2.6 GB of HBM at 30x30 B=128)
+    sidx_i = sidx_s.astype(jnp.int32)
+    cands_s = jnp.stack(
+        [sum(jnp.where((sidx_i[j] == s)[None], cands[s],
+                       jnp.zeros_like(cands[s])) for s in range(A))
+         for j in range(SAE)], axis=0)
     m_ol = cvalidv.astype(i32).sum(0)
     if A > cfg.SA:
         ov = ov | jnp.where(jnp.any(cvalid_s[cfg.SA:]),
